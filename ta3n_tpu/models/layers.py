@@ -1,0 +1,124 @@
+"""Building-block layers: init policies, masked BatchNorm, temporal conv,
+attention weighting.
+
+Parity notes reference `/root/reference/models.py` throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ta3n_tpu.losses.losses import entropy_from_logits
+
+# torch init parity: every Linear in the reference is
+# `normal_(weight, 0, 0.001); constant_(bias, 0)` (models.py:141-305).
+normal_001 = nn.initializers.normal(stddev=0.001)
+# TCL conv / RNN weights use kaiming_normal_ (models.py:51,210-212) =
+# He-normal over fan_in.
+kaiming_normal = nn.initializers.he_normal()
+
+
+def dense(features: int, dtype=None, name: Optional[str] = None) -> nn.Dense:
+    """A Linear with the reference's init policy."""
+    return nn.Dense(features, kernel_init=normal_001,
+                    bias_init=nn.initializers.zeros, dtype=dtype, name=name)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d with optional per-row *statistics* weights.
+
+    torch semantics (reference builds `nn.BatchNorm1d`, models.py:195-199):
+      * train: normalize with (weighted) batch stats (biased variance),
+        update running stats with momentum 0.1 and the *unbiased* variance;
+      * eval: normalize with running stats.
+
+    The row weights let the AdaBN/AutoDIAL `domainAlign` mix domains into a
+    BN's statistics without the reference's dynamic-shape batch surgery
+    (models.py:490-543): every row is normalized by this BN's stats, rows
+    with weight 0 simply don't contribute to them.
+    """
+
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, stats_weight: Optional[jax.Array] = None,
+                 use_running_average: bool = False) -> jax.Array:
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if stats_weight is None:
+                n = jnp.asarray(x.shape[0], jnp.float32)
+                mean = jnp.mean(xf, axis=0)
+                var = jnp.mean(jnp.square(xf - mean), axis=0)
+            else:
+                w = stats_weight.astype(jnp.float32)[:, None]
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(w * xf, axis=0) / n
+                var = jnp.sum(w * jnp.square(xf - mean), axis=0) / n
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean) * inv * scale + bias
+        return y.astype(x.dtype)
+
+
+class TCL(nn.Module):
+    """Temporal conv layer: Conv(kernel=(conv_size,1)) over the segment axis.
+
+    Parity: reference TCL (models.py:44-56) — a Conv2d(dim, dim, (k,1),
+    padding=(k//2, 0)) with kaiming init, applied to [B, 1, S, D].  Here the
+    layout is channel-last: [B, S, D, C].
+    """
+
+    conv_size: int
+    dim: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, S, D, dim]
+        return nn.Conv(self.dim, kernel_size=(self.conv_size, 1),
+                       padding=((self.conv_size // 2,) * 2, (0, 0)),
+                       kernel_init=kaiming_normal)(x)
+
+
+def trans_attn_weights(pred_domain: jax.Array) -> jax.Array:
+    """TransAttn weights = 1 - entropy(softmax(domain logits)).
+
+    Parity: get_trans_attn (models.py:351-357).  Input [..., 2]; output [...].
+    """
+    return 1.0 - entropy_from_logits(pred_domain)
+
+
+class GeneralAttn(nn.Module):
+    """'general' attention: Dense -> tanh -> Dense(1), softmax over axis 1.
+
+    Parity: attn_layer (models.py:320-325) + get_general_attn
+    (models.py:359-366).  Input [B, T, D]; output weights [B, T, 1].
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, feat: jax.Array) -> jax.Array:
+        h = dense(self.dim, name="attn_fc1")(feat)
+        h = jnp.tanh(h)
+        w = dense(1, name="attn_fc2")(h)
+        return jax.nn.softmax(w, axis=1)
