@@ -1,0 +1,17 @@
+from ta3n_tpu.data.feature_store import FeatureStore
+from ta3n_tpu.data.loader import Batch, TSNLoader, prefetch
+from ta3n_tpu.data.manifest import (VideoRecord, epoch_balance_counts,
+                                    load_class_names, parse_list_file,
+                                    repeat_to)
+
+__all__ = [
+    "FeatureStore",
+    "Batch",
+    "TSNLoader",
+    "prefetch",
+    "VideoRecord",
+    "epoch_balance_counts",
+    "load_class_names",
+    "parse_list_file",
+    "repeat_to",
+]

@@ -1,0 +1,134 @@
+"""Batch iteration over a FeatureStore with TSN segment sampling.
+
+Replaces the reference's torch DataLoader + worker-process pipeline
+(main.py:169-200) with a vectorised host pipeline: one numpy gather per
+batch, static batch shapes with validity masks instead of dummy-row padding
+(main.py:358-372), and an optional background prefetch thread that overlaps
+the next batch's gather + host->HBM transfer with the current step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from ta3n_tpu.data.feature_store import FeatureStore
+from ta3n_tpu.data.manifest import VideoRecord, repeat_to
+from ta3n_tpu.data.samplers import (expand_new_length, sample_indices_random,
+                                    sample_indices_test, sample_indices_val)
+
+__all__ = ["Batch", "TSNLoader", "prefetch"]
+
+
+class Batch(NamedTuple):
+    features: np.ndarray   # [B, T, D]
+    labels: np.ndarray     # [B] int32
+    mask: np.ndarray       # [B] float32, 0 for padded rows
+
+
+class TSNLoader:
+    """Epoch iterator with reference-parity sampling semantics.
+
+    mode:
+      'random' — training sampler (dataset.py:76-90)
+      'val'    — centre-of-segment (dataset.py:92-101)
+      'test'   — centre-of-segment with short-video duplication
+                 (dataset.py:103-116).  NOTE the reference trains with
+                 ``random_shift=False, test_mode=True`` (main.py:185-196),
+                 i.e. 'test' sampling — keep that for parity runs.
+    """
+
+    def __init__(self, store: FeatureStore,
+                 records: Optional[Sequence[VideoRecord]] = None,
+                 num_dataload: Optional[int] = None,
+                 batch_size: int = 32, num_segments: int = 5,
+                 new_length: int = 1, mode: str = "test",
+                 shuffle: bool = True, seed: int = 1,
+                 dtype=np.float32):
+        self.store = store
+        base = list(records) if records is not None else store.records()
+        if num_dataload is not None:
+            base = repeat_to(base, num_dataload)
+        self.records = base
+        self.video_idx = np.array([store.index_of(r.path) for r in base],
+                                  dtype=np.int64)
+        self.num_frames = np.array([r.num_frames for r in base],
+                                   dtype=np.int64)
+        self.labels = np.array([r.label for r in base], dtype=np.int32)
+        self.batch_size = batch_size
+        self.num_segments = num_segments
+        self.new_length = new_length
+        self.mode = mode
+        self.shuffle = shuffle
+        self.dtype = dtype
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        """Batches per epoch: ceil(n / b) — torch DataLoader keeps the
+        partial last batch (main.py:190)."""
+        return -(-len(self.records) // self.batch_size)
+
+    @property
+    def num_videos(self) -> int:
+        return len(self.records)
+
+    @property
+    def frames_per_video(self) -> int:
+        return self.num_segments * self.new_length * self.store.num_streams
+
+    def _sample(self, num_frames: np.ndarray) -> np.ndarray:
+        if self.mode == "random":
+            idx = sample_indices_random(num_frames, self.num_segments,
+                                        self.new_length, self._rng)
+        elif self.mode == "val":
+            idx = sample_indices_val(num_frames, self.num_segments,
+                                     self.new_length)
+        elif self.mode == "test":
+            idx = sample_indices_test(num_frames, self.num_segments,
+                                      self.new_length)
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+        return expand_new_length(idx, num_frames, self.new_length)
+
+    def epoch(self) -> Iterator[Batch]:
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            order = self._rng.permutation(order)
+        b = self.batch_size
+        for start in range(0, len(order), b):
+            sel = order[start:start + b]
+            n_real = sel.shape[0]
+            if n_real < b:  # pad to the static batch shape, mask the rest
+                sel = np.concatenate([sel, np.zeros(b - n_real,
+                                                    dtype=sel.dtype)])
+            vids = self.video_idx[sel]
+            frames = self._sample(self.num_frames[sel])
+            feats = self.store.gather(vids, frames, dtype=self.dtype)
+            labels = self.labels[sel]
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n_real] = 1.0
+            yield Batch(feats, labels, mask)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch (replaces torch worker processes)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,5 @@
+from ta3n_tpu.parallel.mesh import (batch_sharding, make_mesh, pad_to_multiple,
+                                    replicated_sharding, shard_train_step)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "pad_to_multiple", "shard_train_step"]

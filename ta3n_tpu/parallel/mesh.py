@@ -1,0 +1,62 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's `torch.nn.DataParallel`
+single-process replication (main.py:79, test_models.py:108): a 1-D
+``jax.sharding.Mesh`` over the chips with the batch axis sharded; XLA
+inserts the gradient all-reduce (psum over ICI) automatically because the
+loss is a mean over the sharded batch.  The reference's replica-divisibility
+dummy-padding (main.py:366-372,695-698) becomes `pad_to_multiple` + masks.
+
+Multi-host (DCN) scale-out — a capability the reference lacks entirely —
+is `jax.distributed.initialize()` before `make_mesh()`; the same code path
+then spans all processes' devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "pad_to_multiple", "shard_train_step"]
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading (batch/video) axis sharded across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(batch_size: int, n_devices: int) -> int:
+    """Smallest multiple of n_devices >= batch_size (mask covers the rest)."""
+    return -(-batch_size // n_devices) * n_devices
+
+
+def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+    """Constrain a built train step's data arguments onto the mesh.
+
+    state/scalars/rng replicated; xs/ys/mask_s/xt/yt/mask_t batch-sharded.
+    """
+    data = batch_sharding(mesh, axis_name)
+    rep = replicated_sharding(mesh)
+
+    def wrapped(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng):
+        xs, ys, mask_s, xt, yt, mask_t = (
+            jax.device_put(a, data) for a in (xs, ys, mask_s, xt, yt, mask_t))
+        state = jax.device_put(state, rep)
+        return train_step(state, xs, ys, mask_s, xt, yt, mask_t, scalars,
+                          rng)
+
+    return wrapped

@@ -1,0 +1,343 @@
+"""Jitted train / eval steps: the whole per-batch hot loop of the reference
+(`main.py:348-628` loss assembly + backward + optimizer) as ONE compiled
+XLA program per configuration.
+
+Design vs the reference:
+  * forward(+MCD second forward), every DA loss, backward, gradient clip,
+    weight decay, momentum and parameter update are a single jit — no
+    Python in the hot loop, no `.item()` device syncs per loss
+    (main.py:450-569); metrics come back as one small device array.
+  * schedule scalars (beta triple, mu, alpha, gamma, lr) are traced inputs,
+    so the DANN per-step schedules (main.py:350-352,619-621) never
+    recompile.
+  * dummy-row padding/removal (main.py:358-372,825-832) is replaced by
+    per-video masks threaded into every loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.losses import (CORAL, JAN, attentive_entropy,
+                             cross_entropy_soft, dis_MCD, mmd_rbf,
+                             weighted_cross_entropy)
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.train.optim import apply_updates_with_lr, make_optimizer
+
+__all__ = ["TrainState", "StepScalars", "create_train_state",
+           "make_train_step", "make_eval_step", "topk_correct"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any           # {} when the model has no BN
+    opt_state: Any
+    step: jax.Array            # int32 scalar
+
+
+class StepScalars(NamedTuple):
+    """Traced per-step schedule values (host-computed, see schedules.py)."""
+    beta: jax.Array            # (3,) [relation, video, frame]
+    mu: jax.Array
+    alpha: jax.Array
+    gamma: jax.Array
+    lr: jax.Array
+
+
+def create_train_state(model: VideoModel, rng: jax.Array,
+                       batch_source: int, batch_target: int,
+                       train_cfg: TrainConfig) -> TrainState:
+    cfg = model.cfg
+    xs = jnp.zeros((batch_source, cfg.train_segments, cfg.input_feature_dim))
+    xt = jnp.zeros((batch_target, cfg.train_segments, cfg.input_feature_dim))
+    variables = model.init({"params": rng, "dropout": rng}, xs, xt,
+                           jnp.zeros(3), jnp.asarray(0.0), True, False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(train_cfg.optimizer, train_cfg.momentum,
+                        train_cfg.weight_decay, train_cfg.clip_gradient)
+    opt_state = tx.init(params)
+    return TrainState(params, batch_stats, opt_state,
+                      jnp.asarray(0, jnp.int32))
+
+
+def topk_correct(logits: jax.Array, labels: jax.Array, mask: jax.Array,
+                 k: int) -> jax.Array:
+    """Masked top-k hit count (reference accuracy(), main.py:809-822)."""
+    k = min(k, logits.shape[-1])
+    _, top = jax.lax.top_k(logits, k)
+    hit = jnp.any(top == labels[:, None], axis=-1).astype(jnp.float32)
+    return jnp.sum(hit * mask)
+
+
+def _flatten_out(out: jax.Array, labels: jax.Array, mask: jax.Array,
+                 baseline_type: str):
+    """frame baseline keeps a segment axis: expand labels/mask per frame
+    (main.py:380-385)."""
+    if baseline_type == "frame" and out.ndim == 3:
+        b, s, c = out.shape
+        out = out.reshape(b * s, c)
+        labels = jnp.repeat(labels, s)
+        mask = jnp.repeat(mask, s)
+    return out, labels, mask
+
+
+def _domain_adversarial_loss(pred_domain_s, pred_domain_t, mask_s, mask_t,
+                             place_adv, domain_weights):
+    """Sum of 2-way domain CE over the layers marked 'Y' in --place_adv.
+
+    Parity: main.py:507-538 (frame/relation preds flattened to rows, source
+    label 0 / target label 1, optional inverse-count weighting).  Also
+    returns the selected concatenated logits list (pred_domain_all), whose
+    index 1 feeds attentive entropy (main.py:560).
+    """
+    loss = jnp.asarray(0.0)
+    selected = []
+    for l, flag in enumerate(place_adv):
+        if flag != "Y":
+            continue
+        ps, pt = pred_domain_s[l], pred_domain_t[l]
+
+        def rows(p, m):
+            if p.ndim == 3:
+                m = jnp.repeat(m, p.shape[1])
+                p = p.reshape(-1, p.shape[-1])
+            return p, m
+
+        ps, ms = rows(ps, mask_s)
+        pt, mt = rows(pt, mask_t)
+        logits = jnp.concatenate([ps, pt], axis=0)
+        labels = jnp.concatenate(
+            [jnp.zeros(ps.shape[0], jnp.int32),
+             jnp.ones(pt.shape[0], jnp.int32)])
+        m = jnp.concatenate([ms, mt])
+        loss = loss + weighted_cross_entropy(logits, labels, domain_weights,
+                                             m)
+        selected.append((logits, m))
+    return loss, selected
+
+
+def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
+                      n_pair: int):
+    """DAN / JAN / CORAL placement (main.py:454-505).
+
+    Features are taken from the first ``n_pair`` videos of each stream
+    (static analogue of `size_loss = min(...)`, main.py:467,482); the
+    reference's 256-row sub-batching (main.py:488-490) is a no-op at the
+    published batch sizes and is not replicated.
+    """
+    kernel_muls = [2.0, 2.0]
+    kernel_nums = [2, 5]
+
+    def flat(x):
+        return x[:n_pair].reshape(n_pair, -1)
+
+    if da.dis_DA == "JAN":
+        # ignore the shared-layer features (main.py:463-465)
+        fs = [flat(f) for f in feat_s[:-add_fc]]
+        ft = [flat(f) for f in feat_t[:-add_fc]]
+        return JAN(fs, ft, kernel_muls=kernel_muls, kernel_nums=kernel_nums,
+                   fix_sigma_list=[None, None], ver=2)
+
+    muls = kernel_muls + [kernel_muls[-1]] * add_fc
+    nums = kernel_nums + [kernel_nums[-1]] * add_fc
+    loss = jnp.asarray(0.0)
+    for l in range(add_fc + 2):
+        if l >= len(da.place_dis) or da.place_dis[l] != "Y":
+            continue
+        if l >= len(feat_s):
+            continue
+        fs, ft = flat(feat_s[l]), flat(feat_t[l])
+        if da.dis_DA == "CORAL":
+            loss = loss + CORAL(fs, ft)
+        elif da.dis_DA == "DAN":
+            loss = loss + mmd_rbf(fs, ft, kernel_mul=muls[l],
+                                  kernel_num=nums[l], ver=2)
+        else:
+            raise ValueError(f"unknown dis_DA {da.dis_DA}")
+    return loss
+
+
+def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
+                    class_weights: Optional[jnp.ndarray] = None,
+                    domain_weights: Optional[jnp.ndarray] = None,
+                    pretrain_classification_only: bool = False):
+    """Build the jitted train step for one configuration.
+
+    Returned signature:
+      step(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
+        -> (new_state, metrics dict)
+    """
+    cfg = model.cfg
+    tx = make_optimizer(train_cfg.optimizer, train_cfg.momentum,
+                        train_cfg.weight_decay, train_cfg.clip_gradient)
+    use_bn = cfg.use_bn != "none"
+    use_tgt = da.use_target != "none"
+    mcd = da.ens_DA == "MCD" and use_tgt
+
+    def loss_fn(params, batch_stats, xs, ys, mask_s, xt, yt, mask_t,
+                scalars: StepScalars, rng):
+        variables = {"params": params}
+        if use_bn:
+            variables["batch_stats"] = batch_stats
+        rng_fwd, rng_mcd = jax.random.split(rng)
+
+        if use_bn:
+            (out_s, out_t), mut = model.apply(
+                variables, xs, xt, scalars.beta, scalars.mu, True, False,
+                rngs={"dropout": rng_fwd}, mutable=["batch_stats"])
+            new_stats = mut["batch_stats"]
+        else:
+            out_s, out_t = model.apply(
+                variables, xs, xt, scalars.beta, scalars.mu, True, False,
+                rngs={"dropout": rng_fwd})
+            new_stats = batch_stats
+
+        metrics = {}
+
+        # ---- (1) classification loss (main.py:437-451) ----
+        o, lab, m = _flatten_out(out_s.out, ys, mask_s, cfg.baseline_type)
+        if da.use_target == "Sv":
+            ot, labt, mt = _flatten_out(out_t.out, yt, mask_t,
+                                        cfg.baseline_type)
+            o = jnp.concatenate([o, ot], axis=0)
+            lab = jnp.concatenate([lab, labt])
+            m = jnp.concatenate([m, mt])
+        loss_c = weighted_cross_entropy(o, lab, class_weights, m)
+        if mcd:
+            o2, lab2, m2 = _flatten_out(out_s.out_2, ys, mask_s,
+                                        cfg.baseline_type)
+            loss_c = loss_c + weighted_cross_entropy(o2, lab2, class_weights,
+                                                     m2)
+        metrics["loss_c"] = loss_c
+        loss = loss_c
+
+        if pretrain_classification_only:
+            metrics["loss"] = loss
+            metrics["top1"] = topk_correct(o, lab, m, 1)
+            metrics["top5"] = topk_correct(o, lab, m, 5)
+            metrics["n"] = jnp.sum(m)
+            return loss, (new_stats, metrics)
+
+        # ---- (2) discrepancy loss (main.py:454-505) ----
+        if da.dis_DA != "none" and use_tgt:
+            n_pair = min(xs.shape[0], xt.shape[0])
+            loss_d = _discrepancy_loss(out_s.feat, out_t.feat, da,
+                                       cfg.add_fc, n_pair)
+            metrics["loss_d"] = loss_d
+            loss = loss + scalars.alpha * loss_d
+
+        # ---- (3) adversarial loss (main.py:507-538) ----
+        selected_domain = []
+        if da.adv_DA != "none" and use_tgt:
+            loss_a, selected_domain = _domain_adversarial_loss(
+                out_s.pred_domain, out_t.pred_domain, mask_s, mask_t,
+                da.place_adv, domain_weights)
+            metrics["loss_a"] = loss_a
+            loss = loss + loss_a
+
+        # ---- (4) entropy losses (main.py:541-545,558-562) ----
+        if da.add_loss_DA == "target_entropy" and use_tgt:
+            ot, _, mt = _flatten_out(out_t.out, yt, mask_t,
+                                     cfg.baseline_type)
+            loss_e = cross_entropy_soft(ot, mt)
+            metrics["loss_e"] = loss_e
+            loss = loss + scalars.gamma * loss_e
+        elif (da.add_loss_DA == "attentive_entropy"
+              and cfg.use_attn != "none" and use_tgt):
+            os_, _, ms_ = _flatten_out(out_s.out, ys, mask_s,
+                                       cfg.baseline_type)
+            ot_, _, mt_ = _flatten_out(out_t.out, yt, mask_t,
+                                       cfg.baseline_type)
+            pred_all = jnp.concatenate([os_, ot_], axis=0)
+            m_all = jnp.concatenate([ms_, mt_])
+            # pred_domain_all[1]: the 2nd selected adversarial layer —
+            # video-level under the published place_adv (main.py:560).
+            if len(selected_domain) > 1:
+                dom_logits, dom_m = selected_domain[1]
+            else:
+                dom_logits = jnp.concatenate(
+                    [out_s.pred_domain[1], out_t.pred_domain[1]], axis=0)
+                dom_m = jnp.concatenate([mask_s, mask_t])
+            # row counts must match the class logits rows
+            if dom_logits.shape[0] != pred_all.shape[0]:
+                dom_logits = jnp.concatenate(
+                    [out_s.pred_domain[1], out_t.pred_domain[1]], axis=0)
+                dom_m = jnp.concatenate([mask_s, mask_t])
+            loss_e = attentive_entropy(pred_all, dom_logits,
+                                       m_all * dom_m)
+            metrics["loss_e"] = loss_e
+            loss = loss + scalars.gamma * loss_e
+
+        # ---- (5) MCD discrepancy: second forward with GRL(mu) on the
+        #      video features (main.py:547-556, models.py:682-684) ----
+        if mcd:
+            variables2 = {"params": params}
+            if use_bn:
+                variables2["batch_stats"] = batch_stats
+            res2 = model.apply(variables2, xs, xt, scalars.beta, scalars.mu,
+                               True, True, rngs={"dropout": rng_mcd},
+                               mutable=["batch_stats"] if use_bn else False)
+            (_, out_t_rev) = res2[0] if use_bn else res2
+            o1, _, m1 = _flatten_out(out_t_rev.out, yt, mask_t,
+                                     cfg.baseline_type)
+            o2, _, _ = _flatten_out(out_t_rev.out_2, yt, mask_t,
+                                    cfg.baseline_type)
+            loss_s = -dis_MCD(o1, o2, m1)
+            metrics["loss_s"] = loss_s
+            loss = loss + loss_s
+
+        # ---- metrics (main.py:564-571) ----
+        metrics["loss"] = loss
+        metrics["top1"] = topk_correct(o, lab, m, 1)
+        metrics["top5"] = topk_correct(o, lab, m, 5)
+        metrics["n"] = jnp.sum(m)
+        return loss, (new_stats, metrics)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
+                   scalars: StepScalars, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,
+            scalars, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = apply_updates_with_lr(state.params, updates, scalars.lr)
+        return TrainState(new_params, new_stats, new_opt,
+                          state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(model: VideoModel,
+                   class_weights: Optional[jnp.ndarray] = None):
+    """Jitted validation step (reference validate(), main.py:669-761):
+    the batch is fed as BOTH streams with beta=0; the target-side outputs
+    are consumed."""
+    cfg = model.cfg
+
+    @jax.jit
+    def eval_step(params, batch_stats, x, y, mask):
+        variables = {"params": params}
+        if cfg.use_bn != "none":
+            variables["batch_stats"] = batch_stats
+        _, out_t = model.apply(variables, x, x, jnp.zeros(3),
+                               jnp.asarray(0.0), False, False)
+        o, lab, m = _flatten_out(out_t.out, y, mask, cfg.baseline_type)
+        loss = weighted_cross_entropy(o, lab, class_weights, m)
+        return {
+            "loss": loss,
+            "top1": topk_correct(o, lab, m, 1),
+            "top5": topk_correct(o, lab, m, 5),
+            "n": jnp.sum(m),
+            "logits": o,
+        }
+
+    return eval_step
