@@ -1,0 +1,88 @@
+"""Training entry point — the reference `main.py` CLI, TPU-native.
+
+Usage parity:
+    python -m ta3n_tpu.cli.train CLASS_FILE MODALITY SRC_LIST TGT_LIST \
+        VAL_LIST [flags...]
+(plus --store_source/--store_target/--store_val pointing at packed
+FeatureStore dirs; see ta3n_tpu/cli/convert_features.py for producing them
+from the reference's .t7 layout).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ta3n_tpu.cli.opts import build_parser, configs_from_args
+from ta3n_tpu.data import load_class_names
+from ta3n_tpu.io_utils import LogFiles
+from ta3n_tpu.train.loop import (Trainer, build_loaders,
+                                 class_weights_from_list)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    print('Baseline:', args.baseline_type)
+    print('Frame aggregation method:', args.frame_aggregation)
+    print('target data usage:', args.use_target)
+    if args.use_target == 'none':
+        print('no Domain Adaptation')
+
+    class_names = load_class_names(args.class_file)
+    num_class = len(class_names)
+    model_cfg, da_cfg, train_cfg = configs_from_args(args, num_class)
+
+    path_exp = args.exp_path + args.modality + '/'
+    os.makedirs(path_exp, exist_ok=True)
+
+    source_loader, target_loader, val_loader, n_src, n_tgt = build_loaders(
+        args, model_cfg, train_cfg)
+
+    class_weights = class_weights_from_list(
+        args.train_source_list, num_class,
+        args.weighted_class_loss == 'Y')
+    domain_weights = (np.array([1.0 / n_src, 1.0 / n_tgt], np.float32)
+                      if args.weighted_class_loss_DA == 'Y' else None)
+
+    logs = LogFiles(path_exp, resume=bool(args.resume),
+                    best_log=args.save_best_log) if not args.evaluate \
+        else None
+
+    trainer = Trainer(model_cfg, da_cfg, train_cfg, source_loader,
+                      target_loader, val_loader, path_exp=path_exp,
+                      class_weights=class_weights,
+                      domain_weights=domain_weights, log_files=logs,
+                      print_freq=args.print_freq, show_freq=args.show_freq,
+                      eval_freq=args.eval_freq, save_model=args.save_model,
+                      save_attention=args.save_attention)
+
+    if args.resume:
+        if os.path.isdir(args.resume):
+            start = trainer.resume(args.resume, args.resume_hp)
+            print(f"=> loaded checkpoint '{args.resume}' "
+                  f"(epoch {start - 1})")
+        else:
+            print(f"=> no checkpoint found at '{args.resume}'")
+
+    if args.evaluate:
+        print('evaluation only......')
+        prec1 = trainer.validate(0)
+        print('%.3f' % prec1)
+        return prec1
+
+    print('start training......')
+    start_train = time.time()
+    best = trainer.fit()
+    total = time.time() - start_train
+    print('total training time:', total)
+    if logs:
+        logs.write_total_time(total)
+        logs.close()
+    return best
+
+
+if __name__ == '__main__':
+    main()

@@ -47,7 +47,7 @@ class TSNLoader:
                  batch_size: int = 32, num_segments: int = 5,
                  new_length: int = 1, mode: str = "test",
                  shuffle: bool = True, seed: int = 1,
-                 dtype=np.float32):
+                 dtype=np.float32, pad_to: Optional[int] = None):
         self.store = store
         base = list(records) if records is not None else store.records()
         if num_dataload is not None:
@@ -59,6 +59,9 @@ class TSNLoader:
                                    dtype=np.int64)
         self.labels = np.array([r.label for r in base], dtype=np.int32)
         self.batch_size = batch_size
+        # static emitted batch shape; > batch_size pads with masked rows
+        # (device-count divisibility — replaces main.py:366-372 GPU padding)
+        self.pad_to = pad_to if pad_to is not None else batch_size
         self.num_segments = num_segments
         self.new_length = new_length
         self.mode = mode
@@ -98,18 +101,20 @@ class TSNLoader:
         if self.shuffle:
             order = self._rng.permutation(order)
         b = self.batch_size
+        p = max(self.pad_to, b)
         for start in range(0, len(order), b):
             sel = order[start:start + b]
             n_real = sel.shape[0]
-            if n_real < b:  # pad to the static batch shape, mask the rest
-                sel = np.concatenate([sel, np.zeros(b - n_real,
+            if n_real < p:  # pad to the static batch shape, mask the rest
+                sel = np.concatenate([sel, np.zeros(p - n_real,
                                                     dtype=sel.dtype)])
             vids = self.video_idx[sel]
             frames = self._sample(self.num_frames[sel])
             feats = self.store.gather(vids, frames, dtype=self.dtype)
             labels = self.labels[sel]
-            mask = np.zeros(b, dtype=np.float32)
+            mask = np.zeros(p, dtype=np.float32)
             mask[:n_real] = 1.0
+            feats[n_real:] = 0.0
             yield Batch(feats, labels, mask)
 
 

@@ -6,12 +6,13 @@ Parity with the reference semantics (main.py:91-106,266-274,764-770):
     best;
   * resume restores model/epoch/best always, optimizer state only with
     ``--resume_hp``.
-Storage is orbax (async-capable, TPU-host friendly) instead of
-torch.save pickles.
+Array pytrees go through orbax (async-capable, TPU-host friendly); scalar
+metadata (epoch/arch/accuracies) lives in a JSON sidecar.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import Any, Dict, Optional
@@ -22,24 +23,38 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 
 _CKPT_NAME = "checkpoint"
 _BEST_NAME = "model_best"
+_META_KEYS = ("epoch", "arch", "best_prec1", "prec1")
 
 
 def save_checkpoint(path_exp: str, payload: Dict[str, Any],
                     is_best: bool = False) -> str:
     """payload: {'epoch', 'arch', 'params', 'batch_stats', 'opt_state',
-    'best_prec1', 'prec1'} — pytrees of jax/numpy arrays + scalars."""
+    'best_prec1', 'prec1'} — array pytrees + scalar metadata."""
     os.makedirs(path_exp, exist_ok=True)
     path = os.path.abspath(os.path.join(path_exp, _CKPT_NAME))
+    import jax
+    import numpy as np
+    meta = {k: payload[k] for k in _META_KEYS if k in payload}
+    arrays = {k: v for k, v in payload.items() if k not in _META_KEYS}
+    # drop empty subtrees (orbax rejects empty dicts at the leaves)
+    arrays = {k: v for k, v in arrays.items()
+              if not (isinstance(v, dict) and not v)}
+    # host-numpy leaves: checkpoints restore on ANY device topology (train
+    # on a pod, eval on one chip) — orbax otherwise pins saved shardings
+    arrays = jax.tree_util.tree_map(lambda a: np.asarray(a), arrays)
     if os.path.exists(path):
         shutil.rmtree(path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, payload)
+    ckpt.save(path, arrays)
     ckpt.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
     if is_best:
         best = os.path.abspath(os.path.join(path_exp, _BEST_NAME))
         if os.path.exists(best):
             shutil.rmtree(best)
         shutil.copytree(path, best)
+        shutil.copyfile(path + ".meta.json", best + ".meta.json")
     return path
 
 
@@ -48,11 +63,21 @@ def load_checkpoint(path: str,
                     ) -> Dict[str, Any]:
     """Restore a checkpoint directory saved by save_checkpoint.
 
-    template: a matching pytree of abstract/real arrays for strict/typed
-    restoration (optional — untyped restore otherwise).
+    template: matching pytree of arrays for typed restoration (the scalar
+    metadata keys in it are ignored).
     """
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
     if template is not None:
-        return ckpt.restore(path, template)
-    return ckpt.restore(path)
+        tmpl = {k: v for k, v in template.items() if k not in _META_KEYS}
+        tmpl = {k: v for k, v in tmpl.items()
+                if not (isinstance(v, dict) and not v)}
+        payload = dict(ckpt.restore(path, tmpl))
+    else:
+        payload = dict(ckpt.restore(path))
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            payload.update(json.load(f))
+    payload.setdefault("batch_stats", {})
+    return payload

@@ -4,9 +4,8 @@ TPU-native re-design of the reference `TRNmodule.py`: instead of a Python
 loop over scales and subsets with one tiny GEMM each (TRNmodule.py:58-82),
 the selected frame subsets are baked into static gather indices
 (`ta3n_tpu.ops.relation`) and each scale runs ONE batched GEMM over all of
-its selected subsets; XLA fuses the gathers/ReLUs into the matmuls.  A
-fully fused Pallas kernel for the hot multi-scale path lives in
-`ta3n_tpu.ops.trn_fused`.
+its selected subsets.  On TPU with MXU-aligned dims the whole multi-scale
+stack runs as a single fused Pallas kernel (`ta3n_tpu.ops.trn_fused`).
 """
 
 from __future__ import annotations
@@ -15,8 +14,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ta3n_tpu.models.layers import dense
+from ta3n_tpu.models.layers import dense, normal_001
 from ta3n_tpu.ops.relation import build_relation_plan
+from ta3n_tpu.ops.trn_fused import trn_multiscale_fused
 
 __all__ = ["RelationModule", "RelationModuleMultiScale"]
 
@@ -55,6 +55,9 @@ class RelationModuleMultiScale(nn.Module):
     Parity: reference RelationModuleMultiScale (TRNmodule.py:27-86), with
     its exact subset-selection quirks (see ops/relation.py).  Output:
     [B, S-1, bottleneck].
+
+    Param layout (per scale i): ``w_scale_i`` [k_i*D, H], ``b_scale_i`` [H]
+    with the reference init (Linear weight normal(0.001), bias 0).
     """
 
     img_feature_dim: int
@@ -62,23 +65,49 @@ class RelationModuleMultiScale(nn.Module):
     num_frames: int
     subsample_num: int = 3
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"   # "auto" | "never" | "always"
+
+    def _pallas_ok(self) -> bool:
+        if self.use_pallas == "never":
+            return False
+        if self.use_pallas == "always":
+            return True
+        # MXU-aligned dims on a real TPU backend
+        return (jax.default_backend() == "tpu"
+                and self.img_feature_dim % 128 == 0
+                and self.num_bottleneck % 128 == 0)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: [B, S, D]
         b = x.shape[0]
         d = self.img_feature_dim
+        hdim = self.num_bottleneck
         plan = build_relation_plan(self.num_frames, self.subsample_num)
+
+        weights, biases = [], []
+        for scale_id, k in enumerate(plan.scales):
+            weights.append(self.param(f"w_scale_{scale_id}", normal_001,
+                                      (k * d, hdim)))
+            biases.append(self.param(f"b_scale_{scale_id}",
+                                     nn.initializers.zeros, (hdim,)))
+
+        if self._pallas_ok():
+            return trn_multiscale_fused(
+                x.astype(self.dtype),
+                tuple(w.astype(self.dtype) for w in weights),
+                tuple(bi.astype(self.dtype) for bi in biases),
+                self.num_frames, self.subsample_num)
+
+        # XLA path: one batched GEMM per scale
         outs = []
         for scale_id, (k, subsets) in enumerate(zip(plan.scales,
                                                     plan.subsets)):
             n_sel = subsets.shape[0]
-            # Static gather of the selected subsets: [B, n_sel, k, D].
             gathered = x[:, subsets.reshape(-1), :].reshape(b, n_sel, k * d)
-            h = nn.relu(gathered)
-            h = dense(self.num_bottleneck, dtype=self.dtype,
-                      name=f"fc_fusion_scale_{scale_id}")(h)
-            h = nn.relu(h)
-            # Sum the selected relations of this scale (TRNmodule.py:79).
-            outs.append(jnp.sum(h, axis=1))
-        return jnp.stack(outs, axis=1)  # [B, S-1, bottleneck]
+            z = jnp.einsum("bjf,fh->bjh", nn.relu(gathered).astype(self.dtype),
+                           weights[scale_id].astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+            z = nn.relu(z + biases[scale_id][None, None, :])
+            outs.append(jnp.sum(z, axis=1))  # TRNmodule.py:79
+        return jnp.stack(outs, axis=1).astype(self.dtype)

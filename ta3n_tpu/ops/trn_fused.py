@@ -1,0 +1,169 @@
+"""Fused multi-scale TRN Pallas kernel.
+
+The multi-scale TRN (reference TRNmodule.py:58-82) is, per scale k:
+    out_k = sum_j relu( concat(x[:, subset_kj, :]) @ W_k + b_k )
+summed over min(3, C(S,k)) statically-selected subsets, for k = S..2.
+The reference runs a Python loop with one tiny GEMM per subset; the
+XLA path (models/trn.py) batches each scale; this kernel fuses ALL
+scales and subsets into a single Pallas launch:
+
+  * x tile [TB, S*D] stays in VMEM; every subset-frame dot hits the MXU
+    with float32 accumulation; relu/bias/sum fuse on the VPU;
+  * subset frame indices are compile-time constants (ops/relation.py), so
+    'gathers' are static VMEM slices — no gather ops, no index traffic;
+  * one kernel, one output write [TB, (S-1)*H] — vs 10+ HLO ops.
+
+Backward is expressed in XLA (einsum) inside the custom_vjp — the FLOPs
+are identical and XLA fuses the recompute chain well; the forward is the
+latency-critical path (eval/serving).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ta3n_tpu.ops.relation import build_relation_plan
+
+__all__ = ["trn_multiscale_fused", "trn_multiscale_reference"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def trn_multiscale_reference(x: jax.Array, weights: Sequence[jax.Array],
+                             biases: Sequence[jax.Array],
+                             num_frames: int, subsample_num: int = 3
+                             ) -> jax.Array:
+    """Pure-XLA reference implementation (used for tests and as the
+    fallback path).  x: [B, S, D]; weights[k]: [k_scale*D, H]."""
+    plan = build_relation_plan(num_frames, subsample_num)
+    b, s, d = x.shape
+    outs = []
+    for scale_id, (k, subsets) in enumerate(zip(plan.scales, plan.subsets)):
+        g = x[:, subsets.reshape(-1), :].reshape(b, subsets.shape[0], k * d)
+        z = jnp.einsum("bjf,fh->bjh", jax.nn.relu(g), weights[scale_id],
+                       preferred_element_type=jnp.float32)
+        z = z + biases[scale_id][None, None, :]
+        outs.append(jnp.sum(jax.nn.relu(z), axis=1))
+    return jnp.stack(outs, axis=1).astype(x.dtype)
+
+
+def _fwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
+    x_ref = refs[0]
+    w_refs = refs[1:1 + n_scales]
+    b_refs = refs[1 + n_scales:1 + 2 * n_scales]
+    out_ref = refs[1 + 2 * n_scales]
+
+    x = jax.nn.relu(x_ref[:, :])  # [TB, S*D]; relu #1 of the fusion MLP
+    for scale_id, subsets in enumerate(plan.subsets):
+        w = w_refs[scale_id]
+        bias = b_refs[scale_id][0, :]
+        acc = None
+        for subset in subsets:
+            z = None
+            for p, frame in enumerate(subset):
+                xi = x[:, frame * d:(frame + 1) * d]
+                wi = w[p * d:(p + 1) * d, :]
+                zi = jnp.dot(xi, wi, preferred_element_type=jnp.float32)
+                z = zi if z is None else z + zi
+            z = jnp.maximum(z + bias[None, :], 0.0)
+            acc = z if acc is None else acc + z
+        out_ref[:, scale_id * h:(scale_id + 1) * h] = acc.astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def trn_multiscale_fused(x, weights, biases, num_frames: int,
+                         subsample_num: int = 3, interpret: bool = False):
+    """Fused forward.  x: [B, S, D] -> [B, S-1, H]."""
+    return _fused_forward(x, weights, biases, num_frames, subsample_num,
+                          interpret)
+
+
+def _fused_forward(x, weights, biases, num_frames, subsample_num,
+                   interpret):
+    plan = build_relation_plan(num_frames, subsample_num)
+    b, s, d = x.shape
+    h = weights[0].shape[-1]
+    n_scales = len(plan.scales)
+
+    tb = min(_round_up(b, 8), 256)
+    b_pad = _round_up(b, tb)
+    xf = x.reshape(b, s * d)
+    if b_pad != b:
+        xf = jnp.pad(xf, ((0, b_pad - b), (0, 0)))
+
+    grid = (b_pad // tb,)
+    in_specs = [pl.BlockSpec((tb, s * d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for _ in biases:
+        in_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((tb, n_scales * h), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_kernel, plan, d, h, n_scales)
+    flops = 2 * b_pad * h * d * sum(
+        len(sub) * k for k, sub in zip(plan.scales, plan.subsets))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_scales * h), x.dtype),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=xf.size * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(xf, *weights, *[bi.reshape(1, h) for bi in biases])
+    return out[:b].reshape(b, n_scales, h)
+
+
+def _fused_fwd(x, weights, biases, num_frames, subsample_num, interpret):
+    out = _fused_forward(x, weights, biases, num_frames, subsample_num,
+                         interpret)
+    return out, (x, tuple(weights), tuple(biases))
+
+
+def _fused_bwd(num_frames, subsample_num, interpret, residuals, g):
+    """XLA backward: recompute per-subset activations, chain rule."""
+    x, weights, biases = residuals
+    plan = build_relation_plan(num_frames, subsample_num)
+    b, s, d = x.shape
+    xr = jax.nn.relu(x)
+    relu_mask = (x > 0).astype(g.dtype)
+    dx = jnp.zeros_like(x, dtype=jnp.float32)
+    dws, dbs = [], []
+    for scale_id, (k, subsets) in enumerate(zip(plan.scales, plan.subsets)):
+        w = weights[scale_id]
+        bias = biases[scale_id]
+        gs = g[:, scale_id, :].astype(jnp.float32)  # [B, H]
+        dw = jnp.zeros_like(w, dtype=jnp.float32)
+        db = jnp.zeros_like(bias, dtype=jnp.float32)
+        for subset in subsets:
+            xs = xr[:, np.asarray(subset), :].reshape(b, k * d)
+            z = xs.astype(jnp.float32) @ w.astype(jnp.float32) \
+                + bias[None, :]
+            m = (z > 0).astype(jnp.float32) * gs       # [B, H]
+            dw = dw + xs.T.astype(jnp.float32) @ m
+            db = db + jnp.sum(m, axis=0)
+            dxs = (m @ w.T.astype(jnp.float32)).reshape(b, k, d)
+            dx = dx.at[:, np.asarray(subset), :].add(dxs)
+        dws.append(dw.astype(w.dtype))
+        dbs.append(db.astype(bias.dtype))
+    dx = dx.astype(g.dtype) * relu_mask
+    return (dx.astype(x.dtype), tuple(dws), tuple(dbs))
+
+
+trn_multiscale_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,307 @@
+"""The training driver: epoch loop, validation, checkpointing, logging.
+
+Reference-parity runtime (main.py:33-306 `main()` + `train()` +
+`validate()`), re-organized around the single jitted train step:
+per-batch Python work is limited to schedule arithmetic and meter updates.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.data import (FeatureStore, TSNLoader, epoch_balance_counts,
+                           parse_list_file, prefetch)
+from ta3n_tpu.io_utils import AverageMeter, LogFiles, save_checkpoint
+from ta3n_tpu.io_utils.checkpoint import load_checkpoint
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.parallel import make_mesh, shard_train_step
+from ta3n_tpu.train.schedules import (alpha_schedule, dann_lr,
+                                      effective_beta, loss_plateau_lr,
+                                      progress, step_decay_lr)
+from ta3n_tpu.train.step import (StepScalars, create_train_state,
+                                 make_eval_step, make_train_step)
+
+__all__ = ["Trainer", "build_loaders", "class_weights_from_list"]
+
+
+def class_weights_from_list(list_file: str, num_class: int,
+                            enabled: bool) -> Optional[np.ndarray]:
+    """Inverse-frequency class weights (main.py:155-164)."""
+    if not enabled:
+        return None
+    labels = [int(line.strip().split(' ')[2]) for line in open(list_file)
+              if line.strip()]
+    _, counts = np.unique(np.array(labels), return_counts=True)
+    freq = counts / counts.sum()
+    return (1.0 / freq).astype(np.float32)
+
+
+def build_loaders(args, model_cfg: ModelConfig, train_cfg: TrainConfig):
+    """Source/target/val loaders with the reference's epoch-balance
+    repetition (main.py:144-153,169-200)."""
+    def store_for(list_file, flag):
+        d = flag if flag else os.path.dirname(os.path.abspath(list_file))
+        return FeatureStore.load(d)
+
+    src_records = parse_list_file(args.train_source_list)
+    tgt_records = parse_list_file(args.train_target_list)
+    val_records = parse_list_file(args.val_list)
+
+    n_src, n_tgt = epoch_balance_counts(
+        len(src_records), len(tgt_records), train_cfg.batch_size[0],
+        train_cfg.batch_size[1], train_cfg.copy_list)
+
+    new_length = model_cfg.sample_new_length
+    src_store = store_for(args.train_source_list, args.store_source)
+    tgt_store = store_for(args.train_target_list, args.store_target)
+    val_store = store_for(args.val_list, args.store_val)
+
+    # NOTE the reference trains with test-mode (central) segment sampling
+    # (main.py:185-196: random_shift=False, test_mode=True).
+    source_loader = TSNLoader(src_store, src_records, num_dataload=n_src,
+                              batch_size=train_cfg.batch_size[0],
+                              num_segments=model_cfg.train_segments,
+                              new_length=new_length, mode="test",
+                              shuffle=True, seed=1)
+    target_loader = TSNLoader(tgt_store, tgt_records, num_dataload=n_tgt,
+                              batch_size=train_cfg.batch_size[1],
+                              num_segments=model_cfg.train_segments,
+                              new_length=new_length, mode="test",
+                              shuffle=True, seed=2)
+    val_loader = TSNLoader(val_store, val_records,
+                           batch_size=train_cfg.batch_size[2],
+                           num_segments=model_cfg.val_segments,
+                           new_length=new_length, mode="test",
+                           shuffle=False, seed=3)
+    return source_loader, target_loader, val_loader, n_src, n_tgt
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, da_cfg: DAConfig,
+                 train_cfg: TrainConfig, source_loader: TSNLoader,
+                 target_loader: TSNLoader, val_loader: TSNLoader,
+                 path_exp: str = "exp/", class_weights=None,
+                 domain_weights=None, use_mesh: bool = True,
+                 log_files: Optional[LogFiles] = None,
+                 print_freq: int = 10, show_freq: int = 10,
+                 eval_freq: int = 1, save_model: bool = False,
+                 save_attention: int = -1, seed: int = 1):
+        self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
+                                                       train_cfg)
+        self.source_loader = source_loader
+        self.target_loader = target_loader
+        self.val_loader = val_loader
+        self.path_exp = path_exp
+        self.print_freq, self.show_freq = print_freq, show_freq
+        self.eval_freq = eval_freq
+        self.save_model = save_model
+        self.save_attention = save_attention
+        self.logs = log_files
+
+        self.model = VideoModel(model_cfg)
+        self.rng = jax.random.PRNGKey(seed)
+        self.state = create_train_state(
+            self.model, self.rng, train_cfg.batch_size[0],
+            train_cfg.batch_size[1], train_cfg)
+        cw = jnp.asarray(class_weights) if class_weights is not None else None
+        dw = jnp.asarray(domain_weights) if domain_weights is not None \
+            else None
+        self.train_step = make_train_step(self.model, da_cfg, train_cfg,
+                                          cw, dw)
+        self.pretrain_step = (
+            make_train_step(self.model, da_cfg, train_cfg, cw, dw,
+                            pretrain_classification_only=True)
+            if da_cfg.pretrain_source else None)
+        self.eval_step = make_eval_step(self.model, cw)
+        if use_mesh and len(jax.devices()) > 1:
+            from ta3n_tpu.parallel import pad_to_multiple
+            mesh = make_mesh()
+            n_dev = len(jax.devices())
+            # device-count divisibility via masked padding (the static
+            # analogue of main.py:366-372)
+            source_loader.pad_to = pad_to_multiple(
+                source_loader.batch_size, n_dev)
+            target_loader.pad_to = pad_to_multiple(
+                target_loader.batch_size, n_dev)
+            self.train_step = shard_train_step(self.train_step, mesh)
+
+        self.lr_current = train_cfg.lr
+        self.best_prec1 = 0.0
+        self.start_epoch = 1
+        self.loss_c_current = 999.0
+        self.loss_c_previous = 999.0
+        self.attn_epoch_source = []
+        self.attn_epoch_target = []
+
+    # ---- checkpoint (main.py:91-106,266-274) ----
+    def resume(self, path: str, resume_hp: bool = False):
+        payload = load_checkpoint(path, template={
+            "epoch": 0, "arch": self.model_cfg.base_model,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "best_prec1": 0.0, "prec1": 0.0,
+        })
+        self.state = self.state._replace(
+            params=payload["params"], batch_stats=payload["batch_stats"])
+        if resume_hp:
+            self.state = self.state._replace(opt_state=payload["opt_state"])
+        self.start_epoch = int(payload["epoch"]) + 1
+        self.best_prec1 = float(payload["best_prec1"])
+        return self.start_epoch
+
+    def save(self, epoch: int, prec1: float, is_best: bool):
+        save_checkpoint(self.path_exp, {
+            "epoch": epoch,
+            "arch": self.model_cfg.base_model,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "best_prec1": self.best_prec1,
+            "prec1": prec1,
+        }, is_best)
+
+    # ---- one epoch (main.py:309-667) ----
+    def train_epoch(self, epoch: int) -> float:
+        tc = self.train_cfg
+        meters = {k: AverageMeter() for k in
+                  ("batch_time", "data_time", "loss", "loss_c", "loss_d",
+                   "loss_a", "loss_e", "loss_s", "top1", "top5")}
+        len_loader = len(self.source_loader)
+        start_steps = epoch * len_loader
+        total_steps = tc.epochs * len_loader
+        alpha = alpha_schedule(tc.alpha, epoch, tc.epochs)
+
+        end = time.time()
+        pairs = zip(prefetch(self.source_loader.epoch()),
+                    prefetch(self.target_loader.epoch()))
+        last_line = ""
+        for i, (bs, bt) in enumerate(pairs):
+            p = progress(i, start_steps, total_steps)
+            beta = effective_beta(tc.beta, p)
+            meters["data_time"].update(time.time() - end)
+
+            scalars = StepScalars(jnp.asarray(beta, jnp.float32),
+                                  jnp.asarray(tc.mu, jnp.float32),
+                                  jnp.asarray(alpha, jnp.float32),
+                                  jnp.asarray(tc.gamma, jnp.float32),
+                                  jnp.asarray(self.lr_current, jnp.float32))
+            step_rng = jax.random.fold_in(self.rng, start_steps + i)
+            if self.pretrain_step is not None:  # main.py:387-414
+                self.state, _ = self.pretrain_step(
+                    self.state, bs.features, bs.labels, bs.mask,
+                    bt.features, bt.labels, bt.mask, scalars,
+                    jax.random.fold_in(step_rng, 1))
+            self.state, m = self.train_step(
+                self.state, bs.features, bs.labels, bs.mask,
+                bt.features, bt.labels, bt.mask, scalars, step_rng)
+
+            n = float(m["n"])
+            meters["loss"].update(float(m["loss"]))
+            meters["loss_c"].update(float(m["loss_c"]), n)
+            for key in ("loss_d", "loss_a", "loss_e", "loss_s"):
+                if key in m:
+                    meters[key].update(float(m[key]), n)
+            meters["top1"].update(100.0 * float(m["top1"]) / max(n, 1), n)
+            meters["top5"].update(100.0 * float(m["top5"]) / max(n, 1), n)
+            meters["batch_time"].update(time.time() - end)
+            end = time.time()
+
+            if i % self.print_freq == 0:
+                last_line = self._format_train_line(
+                    epoch, i, len_loader, meters, alpha, beta, tc)
+                if i % self.show_freq == 0:
+                    print(last_line)
+                if self.logs:
+                    self.logs.write("train.log", last_line)
+
+            # DANN per-step lr for the NEXT step (main.py:619-621)
+            if tc.lr_adaptive == "dann":
+                self.lr_current = dann_lr(tc.lr, p)
+
+        if self.logs and last_line:
+            self.logs.write("train_short.log", last_line)
+        return meters["loss_c"].avg
+
+    def _format_train_line(self, epoch, i, total, meters, alpha, beta, tc):
+        line = (f"Train: [{epoch}][{i}/{total}], lr: {self.lr_current:.5f}\t"
+                f"Time {meters['batch_time'].val:.3f} "
+                f"({meters['batch_time'].avg:.3f})\t"
+                f"Data {meters['data_time'].val:.3f} "
+                f"({meters['data_time'].avg:.3f})\t"
+                f"Prec@1 {meters['top1'].val:.3f} "
+                f"({meters['top1'].avg:.3f})\t"
+                f"Prec@5 {meters['top5'].val:.3f} "
+                f"({meters['top5'].avg:.3f})\t"
+                f"Loss {meters['loss'].val:.4f} "
+                f"({meters['loss'].avg:.4f})   "
+                f"loss_c {meters['loss_c'].avg:.4f}\t")
+        da = self.da_cfg
+        if da.dis_DA != 'none' and da.use_target != 'none':
+            line += f"alpha {alpha:.3f}  loss_d {meters['loss_d'].avg:.4f}\t"
+        if da.adv_DA != 'none' and da.use_target != 'none':
+            line += (f"beta {beta[0]:.3f}, {beta[1]:.3f}, {beta[2]:.3f}  "
+                     f"loss_a {meters['loss_a'].avg:.4f}\t")
+        if da.add_loss_DA != 'none' and da.use_target != 'none':
+            line += (f"gamma {tc.gamma:.6f}  "
+                     f"loss_e {meters['loss_e'].avg:.4f}\t")
+        if da.ens_DA != 'none' and da.use_target != 'none':
+            line += f"mu {tc.mu:.6f}  loss_s {meters['loss_s'].avg:.4f}\t"
+        return line
+
+    # ---- validation (main.py:669-761) ----
+    def validate(self, epoch: int) -> float:
+        meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        for i, b in enumerate(prefetch(self.val_loader.epoch())):
+            r = self.eval_step(self.state.params, self.state.batch_stats,
+                               b.features, b.labels, b.mask)
+            n = float(r["n"])
+            meters["loss"].update(float(r["loss"]), n)
+            meters["top1"].update(100.0 * float(r["top1"]) / max(n, 1), n)
+            meters["top5"].update(100.0 * float(r["top5"]) / max(n, 1), n)
+        line = (f"Testing Results: Prec@1 {meters['top1'].avg:.3f} "
+                f"Prec@5 {meters['top5'].avg:.3f} "
+                f"Loss {meters['loss'].avg:.5f}")
+        print(line)
+        if self.logs:
+            self.logs.write("val.log", line)
+        return meters["top1"].avg
+
+    # ---- full run (main.py:228-306) ----
+    def fit(self):
+        tc = self.train_cfg
+        for epoch in range(self.start_epoch, tc.epochs + 1):
+            # epoch-level lr rules (main.py:234-237)
+            if tc.lr_adaptive == "loss":
+                self.lr_current = loss_plateau_lr(
+                    self.lr_current, tc.lr_decay, self.loss_c_current,
+                    self.loss_c_previous)
+            elif tc.lr_adaptive == "none" and epoch in tc.lr_steps:
+                self.lr_current /= tc.lr_decay
+
+            loss_c = self.train_epoch(epoch)
+            self.loss_c_previous = self.loss_c_current
+            self.loss_c_current = loss_c
+
+            if epoch % self.eval_freq == 0 or epoch == tc.epochs:
+                prec1 = self.validate(epoch)
+                is_best = prec1 > self.best_prec1
+                line_update = (' ==> updating the best accuracy'
+                               if is_best else '')
+                print(f"Best score {self.best_prec1} vs current score "
+                      f"{prec1}{line_update}")
+                if self.logs:
+                    self.logs.write("val_short.log", "%.3f" % prec1)
+                self.best_prec1 = max(prec1, self.best_prec1)
+                if self.save_model:
+                    self.save(epoch, prec1, is_best)
+        if self.logs:
+            self.logs.write_best(self.best_prec1)
+        return self.best_prec1

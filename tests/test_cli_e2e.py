@@ -1,0 +1,109 @@
+"""End-to-end CLI test: synthetic store + list files -> train CLI ->
+checkpoint -> eval CLI artifacts (SURVEY §4 integration strategy)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ta3n_tpu.data.synthetic import make_domain_pair
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=12, num_class=3,
+                                     feature_dim=16, shift=0.8)
+    for name, store in [("src", src), ("tgt", tgt), ("val", val)]:
+        d = root / name
+        store.save(str(d))
+        with open(d / "list.txt", "w") as f:
+            for r in store.records():
+                f.write(f"{r.path} {r.num_frames} {r.label}\n")
+    with open(root / "class.txt", "w") as f:
+        for i in range(3):
+            f.write(f"{i} class_{i}\n")
+    return root
+
+
+def test_train_cli_end_to_end(workspace):
+    from ta3n_tpu.cli.train import main
+    exp = workspace / "exp"
+    best = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "src" / "list.txt"),
+        str(workspace / "tgt" / "list.txt"),
+        str(workspace / "val" / "list.txt"),
+        "--exp_path", str(exp) + "/",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--num_segments", "3", "--val_segments", "3",
+        "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--dropout_i", "0.3", "--dropout_v", "0.3",
+        "--use_target", "uSv", "--adv_DA", "RevGrad",
+        "--beta", "0.5", "0.5", "0.5",
+        "--use_attn", "TransAttn",
+        "--add_loss_DA", "attentive_entropy", "--gamma", "0.01",
+        "--lr", "0.1", "--lr_adaptive", "dann",
+        "--epochs", "2", "-b", "8", "6", "8",
+        "--copy_list", "N", "Y",
+        "--save_model", "-pf", "1", "-sf", "100", "-ef", "1",
+        "--save_best_log", str(exp) + "/best.log",
+    ])
+    assert best >= 0.0
+    path_exp = str(exp) + "/RGB/"
+    assert os.path.isdir(path_exp + "checkpoint")
+    assert os.path.isdir(path_exp + "model_best")
+    assert os.path.isfile(path_exp + "train.log")
+    assert os.path.isfile(path_exp + "val.log")
+    assert os.path.getsize(path_exp + "train.log") > 0
+
+
+def test_eval_cli(workspace):
+    from ta3n_tpu.cli.test_models import main
+    exp = workspace / "exp"
+    out = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(exp) + "/RGB/model_best",
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn",
+        "--bS", "4", "--top", "1", "2",
+        "--save_confusion", str(exp) + "/confusion",
+        "--save_scores", str(exp) + "/scores",
+        "--save_attention", str(exp) + "/attn",
+    ])
+    assert "Pred@1" in out
+    scores = np.load(str(exp) + "/scores.npz")
+    assert scores["scores"].shape == (12, 3)   # real scores, not empty
+    assert scores["labels"].shape == (12,)
+    assert os.path.isfile(str(exp) + "/attn.txt")
+    # confusion artifacts (png if matplotlib, txt fallback otherwise)
+    assert (os.path.isfile(str(exp) + "/confusion.png")
+            or os.path.isfile(str(exp) + "/confusion.png.txt"))
+    assert os.path.isfile(str(exp) + "/confusion-top[1, 2].txt")
+
+
+def test_resume_from_checkpoint(workspace):
+    from ta3n_tpu.cli.train import main
+    exp = workspace / "exp"
+    best = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "src" / "list.txt"),
+        str(workspace / "tgt" / "list.txt"),
+        str(workspace / "val" / "list.txt"),
+        "--exp_path", str(exp) + "/",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--num_segments", "3", "--val_segments", "3",
+        "--fc_dim", "16", "--feature_dim", "16",
+        "--use_target", "uSv", "--adv_DA", "RevGrad",
+        "--use_attn", "TransAttn",
+        "--epochs", "3", "-b", "8", "6", "8",
+        "--resume", str(exp) + "/RGB/checkpoint",
+        "--save_best_log", str(exp) + "/best.log",
+    ])
+    assert best >= 0.0

@@ -1,0 +1,150 @@
+"""Loss-library parity tests against torch golden implementations.
+
+Each test re-derives the reference formula (loss.py:8-120, main.py:204-206)
+with torch on CPU and compares numerically.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ta3n_tpu.losses import (CORAL, JAN, attentive_entropy,
+                             cross_entropy_soft, dis_MCD, gaussian_kernel,
+                             mmd_linear, mmd_rbf, weighted_cross_entropy)
+
+RNG = np.random.default_rng(0)
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def torch_entropy(pred):
+    sm = torch.softmax(pred, dim=1)
+    lsm = torch.log_softmax(pred, dim=1)
+    return torch.sum(-sm * lsm, 1)
+
+
+def test_cross_entropy_soft_matches_torch():
+    x = RNG.normal(size=(7, 5)).astype(np.float32)
+    want = torch_entropy(_t(x)).mean().item()
+    got = float(cross_entropy_soft(jnp.asarray(x)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_attentive_entropy_matches_torch():
+    x = RNG.normal(size=(9, 4)).astype(np.float32)
+    d = RNG.normal(size=(9, 2)).astype(np.float32)
+    weights = 1 + torch_entropy(_t(d))
+    want = torch.mean(weights * torch_entropy(_t(x))).item()
+    got = float(attentive_entropy(jnp.asarray(x), jnp.asarray(d)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_dis_mcd_matches_torch():
+    a = RNG.normal(size=(6, 5)).astype(np.float32)
+    b = RNG.normal(size=(6, 5)).astype(np.float32)
+    want = torch.mean(torch.abs(F.softmax(_t(a), dim=1)
+                                - F.softmax(_t(b), dim=1))).item()
+    got = float(dis_MCD(jnp.asarray(a), jnp.asarray(b)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_weighted_cross_entropy_matches_torch():
+    logits = RNG.normal(size=(10, 4)).astype(np.float32)
+    labels = RNG.integers(0, 4, size=10)
+    w = RNG.uniform(0.5, 2.0, size=4).astype(np.float32)
+    crit = torch.nn.CrossEntropyLoss(weight=_t(w))
+    want = crit(_t(logits), _t(labels)).item()
+    got = float(weighted_cross_entropy(jnp.asarray(logits),
+                                       jnp.asarray(labels), jnp.asarray(w)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_weighted_cross_entropy_mask_equals_slicing():
+    logits = RNG.normal(size=(8, 3)).astype(np.float32)
+    labels = RNG.integers(0, 3, size=8)
+    mask = np.array([1, 1, 1, 1, 1, 0, 0, 0], dtype=np.float32)
+    got = float(weighted_cross_entropy(jnp.asarray(logits),
+                                       jnp.asarray(labels), None,
+                                       jnp.asarray(mask)))
+    want = float(weighted_cross_entropy(jnp.asarray(logits[:5]),
+                                        jnp.asarray(labels[:5])))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def torch_gaussian_kernel(source, target, kernel_mul=2.0, kernel_num=5,
+                          fix_sigma=None):
+    # golden re-derivation of reference loss.py:46-59
+    n = source.size(0) + target.size(0)
+    total = torch.cat([source, target], dim=0)
+    t0 = total.unsqueeze(0).expand(n, n, total.size(1))
+    t1 = total.unsqueeze(1).expand(n, n, total.size(1))
+    l2 = ((t0 - t1) ** 2).sum(2)
+    bandwidth = fix_sigma if fix_sigma else torch.sum(l2.data) / (n * n - n)
+    bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
+    return sum(torch.exp(-l2 / (bandwidth * (kernel_mul ** i)))
+               for i in range(kernel_num))
+
+
+@pytest.mark.parametrize("ver", [1, 2])
+def test_mmd_rbf_matches_torch(ver):
+    s = RNG.normal(size=(6, 8)).astype(np.float32)
+    t = RNG.normal(size=(6, 8)).astype(np.float32)
+    k = torch_gaussian_kernel(_t(s), _t(t))
+    bs = 6
+    if ver == 1:
+        loss = torch.zeros(())
+        for i in range(bs):
+            s1, s2 = i, (i + 1) % bs
+            t1, t2 = s1 + bs, s2 + bs
+            loss = loss + k[s1, s2] + k[t1, t2] - k[s1, t2] - k[s2, t1]
+        want = (loss.abs() / bs).item()
+    else:
+        want = torch.mean(k[:bs, :bs] + k[bs:, bs:]
+                          - k[:bs, bs:] - k[bs:, :bs]).item()
+    got = float(mmd_rbf(jnp.asarray(s), jnp.asarray(t), ver=ver))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_jan_matches_torch():
+    s1 = RNG.normal(size=(5, 6)).astype(np.float32)
+    t1 = RNG.normal(size=(5, 6)).astype(np.float32)
+    s2 = RNG.normal(size=(5, 3)).astype(np.float32)
+    t2 = RNG.normal(size=(5, 3)).astype(np.float32)
+    k = (torch_gaussian_kernel(_t(s1), _t(t1), 2.0, 2)
+         * torch_gaussian_kernel(_t(s2), _t(t2), 2.0, 5))
+    bs = 5
+    want = torch.mean(k[:bs, :bs] + k[bs:, bs:]
+                      - k[:bs, bs:] - k[bs:, :bs]).item()
+    got = float(JAN([jnp.asarray(s1), jnp.asarray(s2)],
+                    [jnp.asarray(t1), jnp.asarray(t2)]))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_mmd_linear_matches_torch():
+    s = RNG.normal(size=(4, 7)).astype(np.float32)
+    t = RNG.normal(size=(4, 7)).astype(np.float32)
+    delta = _t(s) - _t(t)
+    want = torch.mean(delta @ delta.T).item()
+    got = float(mmd_linear(jnp.asarray(s), jnp.asarray(t)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_coral_reference_formula():
+    # The reference never defines CORAL (NameError when selected,
+    # main.py:492-495); golden-check our implementation against the
+    # published Deep CORAL formula.
+    s = RNG.normal(size=(10, 4)).astype(np.float64)
+    t = RNG.normal(size=(12, 4)).astype(np.float64)
+
+    def cov(x):
+        xm = x - x.mean(axis=0)
+        return xm.T @ xm / (x.shape[0] - 1)
+
+    want = np.sum((cov(s) - cov(t)) ** 2) / (4 * 16)
+    got = float(CORAL(jnp.asarray(s), jnp.asarray(t)))
+    assert got == pytest.approx(want, rel=1e-5)

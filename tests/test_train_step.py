@@ -1,0 +1,180 @@
+"""Train/eval step integration tests on synthetic data (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.data import TSNLoader
+from ta3n_tpu.data.synthetic import make_domain_pair
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.train import (StepScalars, create_train_state, dann_lr,
+                            effective_beta, make_eval_step, make_train_step,
+                            progress)
+
+SEGMENTS = 3
+FDIM = 16
+
+
+def scalars(lr=0.1, beta=(0.0, 0.0, 0.0), gamma=0.0, alpha=0.0, mu=0.0):
+    return StepScalars(jnp.asarray(beta, jnp.float32), jnp.asarray(mu),
+                       jnp.asarray(alpha), jnp.asarray(gamma),
+                       jnp.asarray(lr))
+
+
+def run_steps(cfg, da, n_steps=20, lr=0.1, beta=(0, 0, 0), gamma=0.0,
+              alpha=0.0, mu=0.0, bs=8, bt=6):
+    src, tgt, val = make_domain_pair(num_source=32, num_target=24,
+                                     num_val=16, num_class=cfg.num_class,
+                                     feature_dim=FDIM, shift=1.0)
+    tc = TrainConfig(lr=lr, batch_size=(bs, bt, bs))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, bs, bt, tc)
+    step = make_train_step(model, da, tc)
+    ls = TSNLoader(src, batch_size=bs, num_segments=SEGMENTS, mode="test",
+                   seed=1)
+    lt = TSNLoader(tgt, batch_size=bt, num_segments=SEGMENTS, mode="test",
+                   seed=2)
+    losses = []
+    i = 0
+    while i < n_steps:
+        for b_s, b_t in zip(ls.epoch(), lt.epoch()):
+            state, m = step(state, b_s.features, b_s.labels, b_s.mask,
+                            b_t.features, b_t.labels, b_t.mask,
+                            scalars(lr, beta, gamma, alpha, mu),
+                            jax.random.fold_in(rng, i))
+            losses.append(float(m["loss_c"]))
+            i += 1
+            if i >= n_steps:
+                break
+    return state, model, losses, val
+
+
+BASE = dict(num_class=4, train_segments=SEGMENTS, val_segments=SEGMENTS,
+            fc_dim=16, feature_dim=FDIM, dropout_i=0.1, dropout_v=0.1)
+
+
+def test_source_only_loss_decreases():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **BASE)
+    da = DAConfig(use_target="none")
+    state, model, losses, val = run_steps(cfg, da, n_steps=25, lr=0.3)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+
+    # eval path: top1 above chance on separable data
+    ev = make_eval_step(model)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEGMENTS, mode="test",
+                   shuffle=False)
+    hits = total = 0.0
+    for b in lv.epoch():
+        r = ev(state.params, state.batch_stats, b.features, b.labels, b.mask)
+        hits += float(r["top1"])
+        total += float(r["n"])
+    assert total == 16
+    assert hits / total > 0.3
+
+
+def test_full_ta3n_config_trains():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="trn-m",
+                      use_attn="TransAttn", **BASE)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  add_loss_DA="attentive_entropy",
+                  place_adv=("Y", "Y", "Y"))
+    state, model, losses, _ = run_steps(cfg, da, n_steps=12, lr=0.2,
+                                        beta=(0.5, 0.5, 0.5), gamma=0.01)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_dan_discrepancy_config():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **BASE)
+    da = DAConfig(use_target="uSv", dis_DA="DAN", place_dis=("N", "Y", "N"))
+    state, model, losses, _ = run_steps(cfg, da, n_steps=6, lr=0.1,
+                                        alpha=0.5)
+    assert np.isfinite(losses).all()
+
+
+def test_jan_and_coral_configs():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **BASE)
+    for dis in ("JAN", "CORAL"):
+        da = DAConfig(use_target="uSv", dis_DA=dis,
+                      place_dis=("Y", "Y", "Y"))
+        _, _, losses, _ = run_steps(cfg, da, n_steps=4, lr=0.1, alpha=0.5)
+        assert np.isfinite(losses).all()
+
+
+def test_mcd_config():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", ens_DA="MCD", **BASE)
+    da = DAConfig(use_target="uSv", ens_DA="MCD")
+    _, _, losses, _ = run_steps(cfg, da, n_steps=6, lr=0.1, mu=0.1)
+    assert np.isfinite(losses).all()
+
+
+def test_sv_supervised_target():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **BASE)
+    da = DAConfig(use_target="Sv")
+    _, _, losses, _ = run_steps(cfg, da, n_steps=10, lr=0.2)
+    assert losses[-1] < losses[0]
+
+
+def test_target_entropy_config():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **BASE)
+    da = DAConfig(use_target="uSv", add_loss_DA="target_entropy")
+    _, _, losses, _ = run_steps(cfg, da, n_steps=6, lr=0.1, gamma=0.1)
+    assert np.isfinite(losses).all()
+
+
+def test_adabn_config_updates_stats():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", use_bn="AdaBN", **BASE)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    state, model, losses, _ = run_steps(cfg, da, n_steps=4, lr=0.1,
+                                        beta=(0.5, 0.5, 0.5))
+    stats = state.batch_stats
+    assert not np.allclose(np.asarray(stats["bn_shared_S"]["mean"]), 0.0)
+
+
+def test_masked_rows_do_not_affect_updates():
+    """Padded rows (mask 0) must not change the gradient — the static-shape
+    analogue of removeDummy (main.py:825-832)."""
+    kw = dict(BASE, dropout_i=0.0, dropout_v=0.0)
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **kw)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.1, batch_size=(8, 6, 8))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    step = make_train_step(model, da, tc)
+
+    gen = np.random.default_rng(0)
+    xs = gen.normal(size=(8, SEGMENTS, FDIM)).astype(np.float32)
+    ys = gen.integers(0, 4, size=8).astype(np.int32)
+    xt = gen.normal(size=(6, SEGMENTS, FDIM)).astype(np.float32)
+    yt = gen.integers(0, 4, size=6).astype(np.int32)
+    mask_s = np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32)
+    mask_t = np.array([1, 1, 1, 1, 0, 0], np.float32)
+
+    state0 = create_train_state(model, rng, 8, 6, tc)
+    sc = scalars(0.1, (0.5, 0.5, 0.5))
+    s1, m1 = step(state0, xs, ys, mask_s, xt, yt, mask_t, sc, rng)
+
+    # garbage in the masked rows must not matter
+    xs2 = xs.copy()
+    xs2[5:] = 1e3
+    xt2 = xt.copy()
+    xt2[4:] = -1e3
+    state0b = create_train_state(model, rng, 8, 6, tc)
+    s2, m2 = step(state0b, xs2, ys, mask_s, xt2, yt, mask_t, sc, rng)
+
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)

@@ -1,0 +1,79 @@
+"""Fused Pallas multi-scale TRN: equivalence with the XLA reference path
+(forward and gradients), in interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ta3n_tpu.models.trn import RelationModuleMultiScale
+from ta3n_tpu.ops.trn_fused import (trn_multiscale_fused,
+                                    trn_multiscale_reference)
+
+B, S, D, H = 6, 5, 16, 8
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, S, D)).astype(np.float32)
+    from ta3n_tpu.ops.relation import build_relation_plan
+    plan = build_relation_plan(S)
+    weights = tuple(rng.normal(scale=0.1, size=(k * D, H)).astype(np.float32)
+                    for k in plan.scales)
+    biases = tuple(rng.normal(scale=0.1, size=(H,)).astype(np.float32)
+                   for _ in plan.scales)
+    return jnp.asarray(x), tuple(map(jnp.asarray, weights)), \
+        tuple(map(jnp.asarray, biases))
+
+
+def test_fused_forward_matches_reference(data):
+    x, weights, biases = data
+    want = trn_multiscale_reference(x, weights, biases, S)
+    got = trn_multiscale_fused(x, weights, biases, S, 3, True)
+    assert got.shape == (B, S - 1, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_gradients_match_reference(data):
+    x, weights, biases = data
+
+    def loss_ref(x, w, b):
+        return jnp.sum(trn_multiscale_reference(x, w, b, S) ** 2)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(trn_multiscale_fused(x, w, b, S, 3, True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, weights, biases)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(x, weights, biases)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_module_pallas_flag_matches_xla(data):
+    x, _, _ = data
+    rng = jax.random.PRNGKey(0)
+    mod_x = RelationModuleMultiScale(D, H, S, use_pallas="never")
+    var = mod_x.init(rng, x)
+    want = mod_x.apply(var, x)
+
+    class Interp(RelationModuleMultiScale):
+        def _pallas_ok(self):
+            return False  # CPU: compiled pallas unsupported; equivalence of
+            # the fused op itself is covered by the tests above
+
+    mod_p = Interp(D, H, S)
+    got = mod_p.apply(var, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_fused_odd_batch_padding(data):
+    x, weights, biases = data
+    x7 = x[:5]
+    want = trn_multiscale_reference(x7, weights, biases, S)
+    got = trn_multiscale_fused(x7, weights, biases, S, 3, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
