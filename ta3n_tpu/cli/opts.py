@@ -137,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--num_devices', type=int, default=None,
                         help='use only the first N devices of the mesh')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='capture a jax.profiler trace of steps 2-7 '
+                             'of the first epoch into this directory')
     return parser
 
 

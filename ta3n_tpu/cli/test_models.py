@@ -93,11 +93,17 @@ def main(argv=None):
         use_attn_frame=args.use_attn_frame, share_params=args.share_params)
     model = VideoModel(model_cfg)
 
-    payload = load_checkpoint(args.weights)
-    params = payload["params"]
-    batch_stats = payload.get("batch_stats", {})
-    print("model epoch {} prec@1: {}".format(payload.get("epoch"),
-                                             payload.get("prec1")))
+    if os.path.isfile(args.weights):  # reference .pth.tar checkpoint
+        from ta3n_tpu.io_utils.torch_import import load_torch_checkpoint
+        params, batch_stats, meta = load_torch_checkpoint(args.weights)
+        print("model epoch {} prec@1: {} (imported torch checkpoint)".format(
+            meta.get("epoch"), meta.get("prec1")))
+    else:
+        payload = load_checkpoint(args.weights)
+        params = payload["params"]
+        batch_stats = payload.get("batch_stats", {})
+        print("model epoch {} prec@1: {}".format(payload.get("epoch"),
+                                                 payload.get("prec1")))
 
     records = parse_list_file(args.test_list)
     store_dir = args.store or os.path.dirname(

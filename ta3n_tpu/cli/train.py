@@ -57,7 +57,10 @@ def main(argv=None):
                       domain_weights=domain_weights, log_files=logs,
                       print_freq=args.print_freq, show_freq=args.show_freq,
                       eval_freq=args.eval_freq, save_model=args.save_model,
-                      save_attention=args.save_attention)
+                      save_attention=args.save_attention,
+                      tensorboard_dir=(path_exp + 'tensorboard'
+                                       if args.tensorboard else None),
+                      profile_dir=args.profile_dir)
 
     if args.resume:
         if os.path.isdir(args.resume):

@@ -92,7 +92,9 @@ class Trainer:
                  log_files: Optional[LogFiles] = None,
                  print_freq: int = 10, show_freq: int = 10,
                  eval_freq: int = 1, save_model: bool = False,
-                 save_attention: int = -1, seed: int = 1):
+                 save_attention: int = -1, seed: int = 1,
+                 tensorboard_dir: Optional[str] = None,
+                 profile_dir: Optional[str] = None):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -104,6 +106,10 @@ class Trainer:
         self.save_model = save_model
         self.save_attention = save_attention
         self.logs = log_files
+        self.profile_dir = profile_dir
+        from ta3n_tpu.io_utils.tensorboard import EmbeddingWriter
+        self.tb = EmbeddingWriter(tensorboard_dir)
+        self._need_aux = save_attention >= 0 or self.tb.active
 
         self.model = VideoModel(model_cfg)
         self.rng = jax.random.PRNGKey(seed)
@@ -114,7 +120,8 @@ class Trainer:
         dw = jnp.asarray(domain_weights) if domain_weights is not None \
             else None
         self.train_step = make_train_step(self.model, da_cfg, train_cfg,
-                                          cw, dw)
+                                          cw, dw,
+                                          return_aux=self._need_aux)
         self.pretrain_step = (
             make_train_step(self.model, da_cfg, train_cfg, cw, dw,
                             pretrain_classification_only=True)
@@ -183,10 +190,32 @@ class Trainer:
         pairs = zip(prefetch(self.source_loader.epoch()),
                     prefetch(self.target_loader.epoch()))
         last_line = ""
+        pending = []  # unmaterialized device metrics: sync only at print
+        attn_src_epoch, attn_tgt_epoch = [], []
+
+        def flush():
+            for m in pending:
+                n = float(m["n"])
+                meters["loss"].update(float(m["loss"]))
+                meters["loss_c"].update(float(m["loss_c"]), n)
+                for key in ("loss_d", "loss_a", "loss_e", "loss_s"):
+                    if key in m:
+                        meters[key].update(float(m[key]), n)
+                meters["top1"].update(100.0 * float(m["top1"]) / max(n, 1),
+                                      n)
+                meters["top5"].update(100.0 * float(m["top5"]) / max(n, 1),
+                                      n)
+            pending.clear()
+
+        profiling = False
         for i, (bs, bt) in enumerate(pairs):
             p = progress(i, start_steps, total_steps)
             beta = effective_beta(tc.beta, p)
             meters["data_time"].update(time.time() - end)
+
+            if self.profile_dir and epoch == self.start_epoch and i == 2:
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
 
             scalars = StepScalars(jnp.asarray(beta, jnp.float32),
                                   jnp.asarray(tc.mu, jnp.float32),
@@ -202,19 +231,37 @@ class Trainer:
             self.state, m = self.train_step(
                 self.state, bs.features, bs.labels, bs.mask,
                 bt.features, bt.labels, bt.mask, scalars, step_rng)
+            pending.append(m)
 
-            n = float(m["n"])
-            meters["loss"].update(float(m["loss"]))
-            meters["loss_c"].update(float(m["loss_c"]), n)
-            for key in ("loss_d", "loss_a", "loss_e", "loss_s"):
-                if key in m:
-                    meters[key].update(float(m[key]), n)
-            meters["top1"].update(100.0 * float(m["top1"]) / max(n, 1), n)
-            meters["top5"].update(100.0 * float(m["top5"]) / max(n, 1), n)
+            if profiling and i == 7:
+                jax.block_until_ready(m["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+
+            if self._need_aux:
+                # attention rows of the selected class (main.py:623-628)
+                if self.save_attention >= 0:
+                    a_s = np.asarray(m["attn_s"])
+                    a_t = np.asarray(m["attn_t"])
+                    sel_s = (bs.labels == self.save_attention) \
+                        & (bs.mask > 0)
+                    sel_t = (bt.labels == self.save_attention) \
+                        & (bt.mask > 0)
+                    attn_src_epoch.append(np.atleast_2d(a_s)[sel_s]
+                                          if a_s.ndim > 1 else
+                                          a_s[sel_s, None])
+                    attn_tgt_epoch.append(np.atleast_2d(a_t)[sel_t]
+                                          if a_t.ndim > 1 else
+                                          a_t[sel_t, None])
+                self.tb.collect(m.get("feat_s"), bs.labels,
+                                m.get("feat_t"), bt.labels,
+                                bs.mask, bt.mask)
+
             meters["batch_time"].update(time.time() - end)
             end = time.time()
 
             if i % self.print_freq == 0:
+                flush()
                 last_line = self._format_train_line(
                     epoch, i, len_loader, meters, alpha, beta, tc)
                 if i % self.show_freq == 0:
@@ -226,6 +273,15 @@ class Trainer:
             if tc.lr_adaptive == "dann":
                 self.lr_current = dann_lr(tc.lr, p)
 
+        flush()
+        if self.save_attention >= 0:
+            # per-epoch mean attention vector (main.py:242-244,667)
+            for buf, store in ((attn_src_epoch, self.attn_epoch_source),
+                               (attn_tgt_epoch, self.attn_epoch_target)):
+                rows = np.concatenate(buf) if buf else np.zeros((0, 1))
+                store.append(rows.mean(axis=0) if len(rows) else
+                             np.zeros(rows.shape[1]))
+        self.tb.write_epoch(epoch * len_loader)
         if self.logs and last_line:
             self.logs.write("train_short.log", last_line)
         return meters["loss_c"].avg
@@ -259,6 +315,7 @@ class Trainer:
     # ---- validation (main.py:669-761) ----
     def validate(self, epoch: int) -> float:
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        feat_val, label_val = [], []
         for i, b in enumerate(prefetch(self.val_loader.epoch())):
             r = self.eval_step(self.state.params, self.state.batch_stats,
                                b.features, b.labels, b.mask)
@@ -266,12 +323,20 @@ class Trainer:
             meters["loss"].update(float(r["loss"]), n)
             meters["top1"].update(100.0 * float(r["top1"]) / max(n, 1), n)
             meters["top5"].update(100.0 * float(r["top5"]) / max(n, 1), n)
+            if self.tb.active:
+                sel = b.mask > 0
+                feat_val.append(np.asarray(r["feat"])[sel])
+                label_val.append(b.labels[sel])
         line = (f"Testing Results: Prec@1 {meters['top1'].avg:.3f} "
                 f"Prec@5 {meters['top5'].avg:.3f} "
                 f"Loss {meters['loss'].avg:.5f}")
         print(line)
         if self.logs:
             self.logs.write("val.log", line)
+        if self.tb.active and feat_val:
+            self.tb.write_val_embedding(np.concatenate(feat_val),
+                                        np.concatenate(label_val),
+                                        epoch * len(self.val_loader))
         return meters["top1"].avg
 
     # ---- full run (main.py:228-306) ----
@@ -300,8 +365,19 @@ class Trainer:
                 if self.logs:
                     self.logs.write("val_short.log", "%.3f" % prec1)
                 self.best_prec1 = max(prec1, self.best_prec1)
+                self.tb.write_best_text(self.best_prec1, epoch)
                 if self.save_model:
                     self.save(epoch, prec1, is_best)
         if self.logs:
             self.logs.write_best(self.best_prec1)
+        if self.save_attention >= 0 and self.attn_epoch_source:
+            # attention-value dumps (main.py:304-306; written under the
+            # experiment dir rather than the reference's cwd)
+            np.savetxt(os.path.join(self.path_exp,
+                                    f"attn_source_{self.save_attention}.log"),
+                       np.stack(self.attn_epoch_source), fmt="%s")
+            np.savetxt(os.path.join(self.path_exp,
+                                    f"attn_target_{self.save_attention}.log"),
+                       np.stack(self.attn_epoch_target), fmt="%s")
+        self.tb.close()
         return self.best_prec1

@@ -168,7 +168,8 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
 def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                     class_weights: Optional[jnp.ndarray] = None,
                     domain_weights: Optional[jnp.ndarray] = None,
-                    pretrain_classification_only: bool = False):
+                    pretrain_classification_only: bool = False,
+                    return_aux: bool = False):
     """Build the jitted train step for one configuration.
 
     Returned signature:
@@ -299,6 +300,14 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         metrics["top1"] = topk_correct(o, lab, m, 1)
         metrics["top5"] = topk_correct(o, lab, m, 5)
         metrics["n"] = jnp.sum(m)
+        if return_aux:
+            # attention values + video-level features for the epoch-level
+            # attention logs (main.py:623-628) and tensorboard embeddings
+            # (main.py:428-435)
+            metrics["attn_s"] = out_s.attn
+            metrics["attn_t"] = out_t.attn
+            metrics["feat_s"] = out_s.feat[1]
+            metrics["feat_t"] = out_t.feat[1]
         return loss, (new_stats, metrics)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -338,6 +347,7 @@ def make_eval_step(model: VideoModel,
             "top5": topk_correct(o, lab, m, 5),
             "n": jnp.sum(m),
             "logits": o,
+            "feat": out_t.feat[1],
         }
 
     return eval_step
