@@ -64,6 +64,8 @@ class FeatureStore:
         return self._path_index[path]
 
     # ---- gather ----
+    use_native_gather = True   # class-level switch (native lib optional)
+
     def gather(self, video_idx: np.ndarray, frame_idx: np.ndarray,
                dtype=np.float32) -> np.ndarray:
         """Gather [B, T(, streams), D] features.
@@ -71,11 +73,21 @@ class FeatureStore:
         video_idx: [B]; frame_idx: [B, T] 0-based within-video indices.
         Flow stores return [B, T*streams, D] with x/y interleaved per frame
         (parity with dataset.py:62-66 extending [x, y] per step).
+        Uses the native threaded row-gather (native/feature_gather.cc)
+        when the library is built, numpy fancy indexing otherwise.
         """
         video_idx = np.asarray(video_idx)
         frame_idx = np.asarray(frame_idx)
-        abs_idx = self.offsets[video_idx][:, None] + frame_idx
-        out = np.asarray(self.features[abs_idx], dtype=dtype)
+        out = None
+        if self.use_native_gather:
+            from ta3n_tpu.data.native_gather import native_gather
+            got = native_gather(self.features, self.offsets, video_idx,
+                                frame_idx)
+            if got is not None:
+                out = np.asarray(got, dtype=dtype)
+        if out is None:
+            abs_idx = self.offsets[video_idx][:, None] + frame_idx
+            out = np.asarray(self.features[abs_idx], dtype=dtype)
         if out.ndim == 4:  # [B, T, streams, D] -> [B, T*streams, D]
             b, t, s, d = out.shape
             out = out.reshape(b, t * s, d)
