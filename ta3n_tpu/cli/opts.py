@@ -140,6 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='capture a jax.profiler trace of steps 2-7 '
                              'of the first epoch into this directory')
+    parser.add_argument('--compilation_cache', type=str, default=None,
+                        help='persistent XLA compilation cache directory '
+                             '(the TPU analogue of cudnn.benchmark)')
     return parser
 
 

@@ -25,6 +25,14 @@ from ta3n_tpu.train.loop import (Trainer, build_loaders,
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compilation cache — the TPU analogue of
+    # cudnn.benchmark autotune caching (main.py:108)
+    if args.compilation_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     print('Baseline:', args.baseline_type)
     print('Frame aggregation method:', args.frame_aggregation)
     print('target data usage:', args.use_target)

@@ -113,7 +113,13 @@ class ModelConfig:
     def sample_new_length(self) -> int:
         if self.new_length is not None:
             return self.new_length
-        return 1 if self.modality == "RGB" else 5
+        # RGB -> 1; Flow/Diff -> 5; Diff variants need one extra frame for
+        # the difference (dataset.py:48-49, models.py:96-99)
+        if self.modality == "RGB":
+            return 1
+        if self.modality.startswith("RGBDiff"):
+            return 6
+        return 5
 
 
 @dataclasses.dataclass(frozen=True)

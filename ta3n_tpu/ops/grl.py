@@ -28,7 +28,10 @@ def _grad_reverse_fwd(x, beta):
 
 def _grad_reverse_bwd(beta, g):
     # beta receives a zero cotangent: the schedule scalar is not trained.
-    return (-beta * g, jnp.zeros_like(jnp.asarray(beta, dtype=g.dtype)))
+    # Cast beta to g's dtype so mixed-precision cotangents don't promote.
+    beta = jnp.asarray(beta)
+    return ((-beta.astype(g.dtype)) * g,
+            jnp.zeros_like(beta))
 
 
 grad_reverse.defvjp(_grad_reverse_fwd, _grad_reverse_bwd)
@@ -46,7 +49,8 @@ def _grad_scale_fwd(x, beta):
 
 
 def _grad_scale_bwd(beta, g):
-    return (beta * g, jnp.zeros_like(jnp.asarray(beta, dtype=g.dtype)))
+    beta = jnp.asarray(beta)
+    return (beta.astype(g.dtype) * g, jnp.zeros_like(beta))
 
 
 grad_scale.defvjp(_grad_scale_fwd, _grad_scale_bwd)

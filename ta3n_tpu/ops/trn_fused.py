@@ -95,7 +95,13 @@ def _fused_forward(x, weights, biases, num_frames, subsample_num,
     h = weights[0].shape[-1]
     n_scales = len(plan.scales)
 
+    # VMEM budget: weights are resident every grid step; size the batch
+    # tile so tile + outputs + double-buffering stay under the raised cap.
+    weight_bytes = sum(w.size * w.dtype.itemsize for w in weights)
     tb = min(_round_up(b, 8), 256)
+    while tb > 64 and (2 * tb * s * d * 4 + 2 * tb * n_scales * h * 4
+                       + weight_bytes) > 96 * 2**20:
+        tb //= 2
     b_pad = _round_up(b, tb)
     xf = x.reshape(b, s * d)
     if b_pad != b:
@@ -125,6 +131,8 @@ def _fused_forward(x, weights, biases, num_frames, subsample_num,
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=xf.size * 4,
                                       transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(xf, *weights, *[bi.reshape(1, h) for bi in biases])
     return out[:b].reshape(b, n_scales, h)

@@ -22,6 +22,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
@@ -89,8 +90,25 @@ def _flatten_out(out: jax.Array, labels: jax.Array, mask: jax.Array,
     return out, labels, mask
 
 
+def _masked_var_log_scale(x: jax.Array, mask: Optional[jax.Array]
+                          ) -> jax.Array:
+    """x / log(var(x)) over real rows — the reference's 'uncertainty'
+    pred_normalize (main.py:424-427,531-532, flagged 'in construction';
+    torch .var() is unbiased over all elements)."""
+    if mask is None:
+        m = jnp.ones(x.shape[0], x.dtype)
+    else:
+        m = mask.astype(x.dtype)
+    w = m.reshape((-1,) + (1,) * (x.ndim - 1))
+    n = jnp.maximum(jnp.sum(w) * np.prod(x.shape[1:]), 2.0)
+    mean = jnp.sum(x * w) / n
+    var = jnp.sum(jnp.square(x - mean) * w) / (n - 1.0)
+    return x / jnp.log(var)
+
+
 def _domain_adversarial_loss(pred_domain_s, pred_domain_t, mask_s, mask_t,
-                             place_adv, domain_weights):
+                             place_adv, domain_weights,
+                             pred_normalize: bool = False):
     """Sum of 2-way domain CE over the layers marked 'Y' in --place_adv.
 
     Parity: main.py:507-538 (frame/relation preds flattened to rows, source
@@ -118,6 +136,8 @@ def _domain_adversarial_loss(pred_domain_s, pred_domain_t, mask_s, mask_t,
             [jnp.zeros(ps.shape[0], jnp.int32),
              jnp.ones(pt.shape[0], jnp.int32)])
         m = jnp.concatenate([ms, mt])
+        if pred_normalize:  # main.py:531-532
+            logits = _masked_var_log_scale(logits, m)
         loss = loss + weighted_cross_entropy(logits, labels, domain_weights,
                                              m)
         selected.append((logits, m))
@@ -205,6 +225,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
 
         # ---- (1) classification loss (main.py:437-451) ----
         o, lab, m = _flatten_out(out_s.out, ys, mask_s, cfg.baseline_type)
+        if da.pred_normalize == "Y":  # main.py:424-427
+            o = _masked_var_log_scale(o, m)
         if da.use_target == "Sv":
             ot, labt, mt = _flatten_out(out_t.out, yt, mask_t,
                                         cfg.baseline_type)
@@ -240,7 +262,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         if da.adv_DA != "none" and use_tgt:
             loss_a, selected_domain = _domain_adversarial_loss(
                 out_s.pred_domain, out_t.pred_domain, mask_s, mask_t,
-                da.place_adv, domain_weights)
+                da.place_adv, domain_weights,
+                pred_normalize=da.pred_normalize == "Y")
             metrics["loss_a"] = loss_a
             loss = loss + loss_a
 
