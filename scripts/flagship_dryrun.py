@@ -11,11 +11,8 @@ Usage: PYTHONPATH=. python scripts/flagship_dryrun.py [--epochs 30]
 """
 
 import argparse
-import os
 import tempfile
 import time
-
-import numpy as np
 
 from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
 from ta3n_tpu.data import TSNLoader

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ta3n_tpu.cli.opts import configs_from_args
 from ta3n_tpu.data import (FeatureStore, TSNLoader, load_class_names,
                            parse_list_file, prefetch)
 from ta3n_tpu.io_utils import (confusion_matrix, per_class_topk_accuracy,

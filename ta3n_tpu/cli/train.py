@@ -68,7 +68,8 @@ def main(argv=None):
                       save_attention=args.save_attention,
                       tensorboard_dir=(path_exp + 'tensorboard'
                                        if args.tensorboard else None),
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      num_devices=args.num_devices)
 
     if args.resume:
         if os.path.isdir(args.resume):

@@ -8,7 +8,7 @@ Everything here is *static* under jit — schedules and per-step scalars
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 # Feature dims of the frozen backbone used for offline extraction.  The
 # reference probes a live torchvision model just to read `fc.in_features`

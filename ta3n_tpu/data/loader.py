@@ -20,7 +20,7 @@ from ta3n_tpu.data.manifest import VideoRecord, repeat_to
 from ta3n_tpu.data.samplers import (expand_new_length, sample_indices_random,
                                     sample_indices_test, sample_indices_val)
 
-__all__ = ["Batch", "TSNLoader", "prefetch"]
+__all__ = ["Batch", "TSNLoader", "prefetch", "device_prefetch"]
 
 
 class Batch(NamedTuple):
@@ -116,6 +116,27 @@ class TSNLoader:
             mask[:n_real] = 1.0
             feats[n_real:] = 0.0
             yield Batch(feats, labels, mask)
+
+
+def device_prefetch(iterator: Iterator, sharding=None,
+                    depth: int = 1) -> Iterator:
+    """Overlap host->device transfer with compute: device_put the next
+    `depth` batches (async under jax's dispatch) before yielding the
+    current one.  `sharding`: optional jax sharding for the arrays."""
+    import collections
+
+    import jax
+
+    def put(batch: Batch) -> Batch:
+        return Batch(*(jax.device_put(a, sharding) for a in batch))
+
+    queue: "collections.deque" = collections.deque()
+    for item in iterator:
+        queue.append(put(item))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:

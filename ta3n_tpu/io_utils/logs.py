@@ -8,7 +8,7 @@ append-mode resume separator (main.py:110-131) and best.log
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, TextIO
+from typing import Dict, TextIO
 
 __all__ = ["AverageMeter", "LogFiles"]
 

@@ -14,7 +14,7 @@ features come from a conv stack and fc layers with **no nonlinearities**
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,7 @@ from __future__ import annotations
 import itertools
 from functools import lru_cache
 from math import ceil
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

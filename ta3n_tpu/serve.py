@@ -14,7 +14,7 @@ and optionally expose it over HTTP for row-feature requests.
 from __future__ import annotations
 
 import json
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ from ta3n_tpu.models import VideoModel
 from ta3n_tpu.parallel import make_mesh, shard_train_step
 from ta3n_tpu.train.schedules import (alpha_schedule, dann_lr,
                                       effective_beta, loss_plateau_lr,
-                                      progress, step_decay_lr)
+                                      progress)
 from ta3n_tpu.train.step import (StepScalars, create_train_state,
                                  make_eval_step, make_train_step)
 
@@ -94,7 +94,8 @@ class Trainer:
                  eval_freq: int = 1, save_model: bool = False,
                  save_attention: int = -1, seed: int = 1,
                  tensorboard_dir: Optional[str] = None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 num_devices: Optional[int] = None):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -113,6 +114,7 @@ class Trainer:
 
         self.model = VideoModel(model_cfg)
         self.rng = jax.random.PRNGKey(seed)
+        self._pretrain_rng = jax.random.PRNGKey(seed + 7919)
         self.state = create_train_state(
             self.model, self.rng, train_cfg.batch_size[0],
             train_cfg.batch_size[1], train_cfg)
@@ -127,10 +129,15 @@ class Trainer:
                             pretrain_classification_only=True)
             if da_cfg.pretrain_source else None)
         self.eval_step = make_eval_step(self.model, cw)
-        if use_mesh and len(jax.devices()) > 1:
-            from ta3n_tpu.parallel import pad_to_multiple
-            mesh = make_mesh()
-            n_dev = len(jax.devices())
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+        self.batch_sharding = None
+        if use_mesh and len(devices) > 1:
+            from ta3n_tpu.parallel import batch_sharding, pad_to_multiple
+            mesh = make_mesh(devices)
+            n_dev = len(devices)
+            self.batch_sharding = batch_sharding(mesh)
             # device-count divisibility via masked padding (the static
             # analogue of main.py:366-372)
             source_loader.pad_to = pad_to_multiple(
@@ -186,9 +193,14 @@ class Trainer:
         total_steps = tc.epochs * len_loader
         alpha = alpha_schedule(tc.alpha, epoch, tc.epochs)
 
+        from ta3n_tpu.data.loader import device_prefetch
         end = time.time()
-        pairs = zip(prefetch(self.source_loader.epoch()),
-                    prefetch(self.target_loader.epoch()))
+        # thread prefetch (host gather) + device prefetch (async H2D)
+        pairs = zip(
+            device_prefetch(prefetch(self.source_loader.epoch()),
+                            self.batch_sharding),
+            device_prefetch(prefetch(self.target_loader.epoch()),
+                            self.batch_sharding))
         last_line = ""
         pending = []  # unmaterialized device metrics: sync only at print
         attn_src_epoch, attn_tgt_epoch = [], []
@@ -217,20 +229,21 @@ class Trainer:
                 jax.profiler.start_trace(self.profile_dir)
                 profiling = True
 
-            scalars = StepScalars(jnp.asarray(beta, jnp.float32),
-                                  jnp.asarray(tc.mu, jnp.float32),
-                                  jnp.asarray(alpha, jnp.float32),
-                                  jnp.asarray(tc.gamma, jnp.float32),
-                                  jnp.asarray(self.lr_current, jnp.float32))
-            step_rng = jax.random.fold_in(self.rng, start_steps + i)
+            # host numpy scalars: shipped with the step call, not as
+            # separate per-step device ops (tunnel dispatch latency)
+            scalars = StepScalars(np.asarray(beta, np.float32),
+                                  np.float32(tc.mu),
+                                  np.float32(alpha),
+                                  np.float32(tc.gamma),
+                                  np.float32(self.lr_current))
             if self.pretrain_step is not None:  # main.py:387-414
                 self.state, _ = self.pretrain_step(
                     self.state, bs.features, bs.labels, bs.mask,
                     bt.features, bt.labels, bt.mask, scalars,
-                    jax.random.fold_in(step_rng, 1))
+                    self._pretrain_rng)
             self.state, m = self.train_step(
                 self.state, bs.features, bs.labels, bs.mask,
-                bt.features, bt.labels, bt.mask, scalars, step_rng)
+                bt.features, bt.labels, bt.mask, scalars, self.rng)
             pending.append(m)
 
             if profiling and i == 7:

@@ -15,10 +15,9 @@ torch parity details:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 __all__ = ["make_optimizer", "apply_updates_with_lr"]

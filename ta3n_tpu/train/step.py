@@ -16,16 +16,14 @@ Design vs the reference:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.config import DAConfig, TrainConfig
 from ta3n_tpu.losses import (CORAL, JAN, attentive_entropy,
                              cross_entropy_soft, dis_MCD, mmd_rbf,
                              weighted_cross_entropy)
@@ -336,6 +334,10 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
                    scalars: StepScalars, rng):
+        # fold the step counter in ON DEVICE: the caller passes the same
+        # rng array every step (no per-step host->device transfers, which
+        # serialize the dispatch pipeline on tunneled runtimes)
+        rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,

@@ -195,6 +195,16 @@ def test_val_segments_path():
     assert s.out.shape == (2, 6)
 
 
+def test_gru_aggregation():
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="rnn",
+                      use_attn="none", rnn_cell="GRU", n_ts=3, **BASE)
+    m, var, xs, xt = make(cfg)
+    s, t = m.apply(var, xs, xt, jnp.zeros(3), jnp.asarray(0.0), False,
+                   False)
+    assert s.out.shape == (4, 6)
+    assert np.isfinite(np.asarray(s.out)).all()
+
+
 def test_frame_and_tsn_baselines():
     for baseline, shape in [("frame", (4, 5, 6)), ("tsn", (4, 6))]:
         cfg = ModelConfig(baseline_type=baseline,
