@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--feature_dim", type=int, default=2048)
     ap.add_argument("--shift", type=float, default=1.2)
+    ap.add_argument("--device_store", action="store_true",
+                    help="HBM-resident feature stores, on-device gather")
     args = ap.parse_args()
 
     src = make_synthetic_store(1438, 12, args.feature_dim, shift=0.0,
@@ -54,7 +56,8 @@ def main():
     exp = tempfile.mkdtemp(prefix="flagship_")
     trainer = Trainer(cfg, da, tc, ls, lt, lv, path_exp=exp + "/",
                       print_freq=10, show_freq=10, eval_freq=5,
-                      save_model=True, use_mesh=False)
+                      save_model=True, use_mesh=False,
+                      device_store=args.device_store)
     t0 = time.time()
     best = trainer.fit()
     dt = time.time() - t0

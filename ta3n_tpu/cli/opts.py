@@ -143,6 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--compilation_cache', type=str, default=None,
                         help='persistent XLA compilation cache directory '
                              '(the TPU analogue of cudnn.benchmark)')
+    parser.add_argument('--device_store', default=False,
+                        action='store_true',
+                        help='keep the packed feature stores resident in '
+                             'HBM and gather batches on device (only '
+                             'indices cross the host boundary)')
     return parser
 
 

@@ -69,7 +69,8 @@ def main(argv=None):
                       tensorboard_dir=(path_exp + 'tensorboard'
                                        if args.tensorboard else None),
                       profile_dir=args.profile_dir,
-                      num_devices=args.num_devices)
+                      num_devices=args.num_devices,
+                      device_store=args.device_store)
 
     if args.resume:
         if os.path.isdir(args.resume):

@@ -20,13 +20,22 @@ from ta3n_tpu.data.manifest import VideoRecord, repeat_to
 from ta3n_tpu.data.samplers import (expand_new_length, sample_indices_random,
                                     sample_indices_test, sample_indices_val)
 
-__all__ = ["Batch", "TSNLoader", "prefetch", "device_prefetch"]
+__all__ = ["Batch", "IndexBatch", "TSNLoader", "prefetch",
+           "device_prefetch"]
 
 
 class Batch(NamedTuple):
     features: np.ndarray   # [B, T, D]
     labels: np.ndarray     # [B] int32
     mask: np.ndarray       # [B] float32, 0 for padded rows
+
+
+class IndexBatch(NamedTuple):
+    """Device-store batch: only indices cross the host boundary; the
+    feature gather happens on device inside the jitted step."""
+    abs_indices: np.ndarray  # [B, T] int32 rows into the packed store
+    labels: np.ndarray       # [B] int32
+    mask: np.ndarray         # [B] float32
 
 
 class TSNLoader:
@@ -96,7 +105,7 @@ class TSNLoader:
             raise ValueError(f"unknown mode {self.mode}")
         return expand_new_length(idx, num_frames, self.new_length)
 
-    def epoch(self) -> Iterator[Batch]:
+    def _batches(self) -> Iterator[tuple]:
         order = np.arange(len(self.records))
         if self.shuffle:
             order = self._rng.permutation(order)
@@ -110,12 +119,26 @@ class TSNLoader:
                                                     dtype=sel.dtype)])
             vids = self.video_idx[sel]
             frames = self._sample(self.num_frames[sel])
-            feats = self.store.gather(vids, frames, dtype=self.dtype)
             labels = self.labels[sel]
             mask = np.zeros(p, dtype=np.float32)
             mask[:n_real] = 1.0
+            yield vids, frames, labels, mask, n_real
+
+    def epoch(self) -> Iterator[Batch]:
+        for vids, frames, labels, mask, n_real in self._batches():
+            feats = self.store.gather(vids, frames, dtype=self.dtype)
             feats[n_real:] = 0.0
             yield Batch(feats, labels, mask)
+
+    def index_epoch(self) -> Iterator[IndexBatch]:
+        """Index-only batches for the HBM-resident store path: the packed
+        feature array lives on device and the step gathers rows on device
+        (see step.make_train_step(gather_on_device=True))."""
+        for vids, frames, labels, mask, n_real in self._batches():
+            abs_idx = (self.store.offsets[vids][:, None]
+                       + frames).astype(np.int32)
+            abs_idx[n_real:] = 0  # masked rows read row 0 harmlessly
+            yield IndexBatch(abs_idx, labels, mask)
 
 
 def device_prefetch(iterator: Iterator, sharding=None,
@@ -127,8 +150,8 @@ def device_prefetch(iterator: Iterator, sharding=None,
 
     import jax
 
-    def put(batch: Batch) -> Batch:
-        return Batch(*(jax.device_put(a, sharding) for a in batch))
+    def put(batch):
+        return type(batch)(*(jax.device_put(a, sharding) for a in batch))
 
     queue: "collections.deque" = collections.deque()
     for item in iterator:

@@ -149,17 +149,57 @@ def import_torch_state_dict(state: Dict[str, Any]
             "kernel": w.transpose(2, 3, 1, 0),
             "bias": _to_np(take("tcl_3_1.conv2d.bias"))}}
 
+    # RNN aggregator (models.py:202-215): torch fused-gate weights ->
+    # per-gate flax cells (RNNAggregator layout: rnn/rnn_{l}/cell_{l})
+    rnn_keys = {k for k in state if k.startswith("rnn.")}
+    if rnn_keys:
+        if any("_reverse" in k for k in rnn_keys):
+            raise NotImplementedError(
+                "bidirectional RNN import is not supported")
+        layers = sorted({int(k.split("_l")[-1]) for k in rnn_keys
+                         if "_l" in k})
+        rnn_tree: Dict[str, Any] = {}
+        n_layers = 1 + max(layers)
+        gru = (_to_np(state["rnn.weight_ih_l0"]).shape[0]
+               == 3 * _to_np(state["rnn.weight_hh_l0"]).shape[1])
+        for l in range(n_layers):
+            w_ih = _to_np(take(f"rnn.weight_ih_l{l}"))
+            w_hh = _to_np(take(f"rnn.weight_hh_l{l}"))
+            b_ih = _to_np(take(f"rnn.bias_ih_l{l}"))
+            b_hh = _to_np(take(f"rnn.bias_hh_l{l}"))
+            hdim = w_hh.shape[1]
+            if gru:  # torch gate order r, z, n (GRUCell docs)
+                r, z, n = (slice(0, hdim), slice(hdim, 2 * hdim),
+                           slice(2 * hdim, 3 * hdim))
+                cell = {
+                    "ir": {"kernel": w_ih[r].T,
+                           "bias": b_ih[r] + b_hh[r]},
+                    "iz": {"kernel": w_ih[z].T,
+                           "bias": b_ih[z] + b_hh[z]},
+                    "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
+                    "hr": {"kernel": w_hh[r].T},
+                    "hz": {"kernel": w_hh[z].T},
+                    "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+                }
+            else:  # LSTM gate order i, f, g, o
+                sl = {g: slice(j * hdim, (j + 1) * hdim)
+                      for j, g in enumerate("ifgo")}
+                cell = {}
+                for g in "ifgo":
+                    cell[f"i{g}"] = {"kernel": w_ih[sl[g]].T}
+                    cell[f"h{g}"] = {"kernel": w_hh[sl[g]].T,
+                                     "bias": b_ih[sl[g]] + b_hh[sl[g]]}
+            # cells are scoped directly under the RNNAggregator (the cell
+            # modules are constructed in its scope)
+            rnn_tree[f"cell_{l}"] = cell
+        params["rnn"] = rnn_tree
+
     for k in state:
         if k in consumed:
             continue
         if any(k.startswith(p) for p in _DEAD_PREFIXES):
             unused.append(k)
             continue
-        if k.startswith("rnn."):
-            raise NotImplementedError(
-                "RNN (LSTM/GRU) weight import is not supported — the "
-                "torch fused-gate layout does not map 1:1 onto the flax "
-                f"cells (offending key: {k})")
         raise KeyError(f"unrecognized reference checkpoint key: {k}")
 
     return params, batch_stats

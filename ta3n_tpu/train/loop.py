@@ -95,7 +95,8 @@ class Trainer:
                  save_attention: int = -1, seed: int = 1,
                  tensorboard_dir: Optional[str] = None,
                  profile_dir: Optional[str] = None,
-                 num_devices: Optional[int] = None):
+                 num_devices: Optional[int] = None,
+                 device_store: bool = False):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -121,30 +122,47 @@ class Trainer:
         cw = jnp.asarray(class_weights) if class_weights is not None else None
         dw = jnp.asarray(domain_weights) if domain_weights is not None \
             else None
+        self.device_store = device_store
         self.train_step = make_train_step(self.model, da_cfg, train_cfg,
                                           cw, dw,
-                                          return_aux=self._need_aux)
+                                          return_aux=self._need_aux,
+                                          gather_on_device=device_store)
         self.pretrain_step = (
             make_train_step(self.model, da_cfg, train_cfg, cw, dw,
-                            pretrain_classification_only=True)
+                            pretrain_classification_only=True,
+                            gather_on_device=device_store)
             if da_cfg.pretrain_source else None)
-        self.eval_step = make_eval_step(self.model, cw)
+        self.eval_step = make_eval_step(self.model, cw,
+                                        gather_on_device=device_store)
         devices = jax.devices()
         if num_devices is not None:
             devices = devices[:num_devices]
         self.batch_sharding = None
+        store_sharding = None
         if use_mesh and len(devices) > 1:
-            from ta3n_tpu.parallel import batch_sharding, pad_to_multiple
+            from ta3n_tpu.parallel import (batch_sharding, pad_to_multiple,
+                                           replicated_sharding)
             mesh = make_mesh(devices)
             n_dev = len(devices)
             self.batch_sharding = batch_sharding(mesh)
+            store_sharding = replicated_sharding(mesh)
             # device-count divisibility via masked padding (the static
             # analogue of main.py:366-372)
             source_loader.pad_to = pad_to_multiple(
                 source_loader.batch_size, n_dev)
             target_loader.pad_to = pad_to_multiple(
                 target_loader.batch_size, n_dev)
-            self.train_step = shard_train_step(self.train_step, mesh)
+            if not device_store:
+                self.train_step = shard_train_step(self.train_step, mesh)
+        if device_store:
+            # HBM-resident packed stores: uploaded ONCE; per-step host work
+            # collapses to index arithmetic
+            def put_store(store):
+                arr = np.ascontiguousarray(store.features)
+                return jax.device_put(arr, store_sharding)
+            self._dev_store_s = put_store(source_loader.store)
+            self._dev_store_t = put_store(target_loader.store)
+            self._dev_store_v = put_store(val_loader.store)
 
         self.lr_current = train_cfg.lr
         self.best_prec1 = 0.0
@@ -195,12 +213,14 @@ class Trainer:
 
         from ta3n_tpu.data.loader import device_prefetch
         end = time.time()
+
+        def stream(loader):
+            it = (loader.index_epoch() if self.device_store
+                  else loader.epoch())
+            return device_prefetch(prefetch(it), self.batch_sharding)
+
         # thread prefetch (host gather) + device prefetch (async H2D)
-        pairs = zip(
-            device_prefetch(prefetch(self.source_loader.epoch()),
-                            self.batch_sharding),
-            device_prefetch(prefetch(self.target_loader.epoch()),
-                            self.batch_sharding))
+        pairs = zip(stream(self.source_loader), stream(self.target_loader))
         last_line = ""
         pending = []  # unmaterialized device metrics: sync only at print
         attn_src_epoch, attn_tgt_epoch = [], []
@@ -236,14 +256,18 @@ class Trainer:
                                   np.float32(alpha),
                                   np.float32(tc.gamma),
                                   np.float32(self.lr_current))
+            if self.device_store:
+                args = (self._dev_store_s, bs.abs_indices, bs.labels,
+                        bs.mask, self._dev_store_t, bt.abs_indices,
+                        bt.labels, bt.mask)
+            else:
+                args = (bs.features, bs.labels, bs.mask,
+                        bt.features, bt.labels, bt.mask)
             if self.pretrain_step is not None:  # main.py:387-414
                 self.state, _ = self.pretrain_step(
-                    self.state, bs.features, bs.labels, bs.mask,
-                    bt.features, bt.labels, bt.mask, scalars,
-                    self._pretrain_rng)
-            self.state, m = self.train_step(
-                self.state, bs.features, bs.labels, bs.mask,
-                bt.features, bt.labels, bt.mask, scalars, self.rng)
+                    self.state, *args, scalars, self._pretrain_rng)
+            self.state, m = self.train_step(self.state, *args, scalars,
+                                            self.rng)
             pending.append(m)
 
             if profiling and i == 7:
@@ -329,9 +353,18 @@ class Trainer:
     def validate(self, epoch: int) -> float:
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
         feat_val, label_val = [], []
-        for i, b in enumerate(prefetch(self.val_loader.epoch())):
-            r = self.eval_step(self.state.params, self.state.batch_stats,
-                               b.features, b.labels, b.mask)
+        val_iter = (self.val_loader.index_epoch() if self.device_store
+                    else self.val_loader.epoch())
+        for i, b in enumerate(prefetch(val_iter)):
+            if self.device_store:
+                r = self.eval_step(self.state.params,
+                                   self.state.batch_stats,
+                                   self._dev_store_v, b.abs_indices,
+                                   b.labels, b.mask)
+            else:
+                r = self.eval_step(self.state.params,
+                                   self.state.batch_stats,
+                                   b.features, b.labels, b.mask)
             n = float(r["n"])
             meters["loss"].update(float(r["loss"]), n)
             meters["top1"].update(100.0 * float(r["top1"]) / max(n, 1), n)

@@ -183,16 +183,35 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
     return loss
 
 
+def device_gather(store: jax.Array, abs_idx: jax.Array) -> jax.Array:
+    """On-device row gather from an HBM-resident packed store.
+
+    store: [total_rows, D] or [total_rows, streams, D] (Flow);
+    abs_idx: [B, T] -> [B, T(*streams), D].
+    """
+    x = store[abs_idx]
+    if x.ndim == 4:  # interleave streams (dataset.py:62-66 semantics)
+        b, t, s, d = x.shape
+        x = x.reshape(b, t * s, d)
+    return x
+
+
 def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                     class_weights: Optional[jnp.ndarray] = None,
                     domain_weights: Optional[jnp.ndarray] = None,
                     pretrain_classification_only: bool = False,
-                    return_aux: bool = False):
+                    return_aux: bool = False,
+                    gather_on_device: bool = False):
     """Build the jitted train step for one configuration.
 
     Returned signature:
       step(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
         -> (new_state, metrics dict)
+    With ``gather_on_device=True`` the xs/xt arguments are
+    (store, abs_indices) pairs instead of feature arrays: the packed
+    feature store stays resident in HBM and the batch gather runs inside
+    the jit — only ~KB of indices cross the host boundary per step
+    (vs the reference's per-frame torch.load host pipeline).
     """
     cfg = model.cfg
     tx = make_optimizer(train_cfg.optimizer, train_cfg.momentum,
@@ -331,9 +350,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
             metrics["feat_t"] = out_t.feat[1]
         return loss, (new_stats, metrics)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
-                   scalars: StepScalars, rng):
+    def _run(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
+             scalars: StepScalars, rng):
         # fold the step counter in ON DEVICE: the caller passes the same
         # rng array every step (no per-step host->device transfers, which
         # serialize the dispatch pipeline on tunneled runtimes)
@@ -347,18 +365,32 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         return TrainState(new_params, new_stats, new_opt,
                           state.step + 1), metrics
 
-    return train_step
+    if not gather_on_device:
+        return partial(jax.jit, donate_argnums=(0,))(_run)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_gather(state: TrainState, store_s, idx_s, ys, mask_s,
+                          store_t, idx_t, yt, mask_t,
+                          scalars: StepScalars, rng):
+        xs = device_gather(store_s, idx_s)
+        xt = device_gather(store_t, idx_t)
+        # zero the masked rows (the loader points them at row 0)
+        xs = xs * mask_s[:, None, None].astype(xs.dtype)
+        xt = xt * mask_t[:, None, None].astype(xt.dtype)
+        return _run(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
+
+    return train_step_gather
 
 
 def make_eval_step(model: VideoModel,
-                   class_weights: Optional[jnp.ndarray] = None):
+                   class_weights: Optional[jnp.ndarray] = None,
+                   gather_on_device: bool = False):
     """Jitted validation step (reference validate(), main.py:669-761):
     the batch is fed as BOTH streams with beta=0; the target-side outputs
-    are consumed."""
+    are consumed.  With gather_on_device, x is a (store, abs_idx) pair."""
     cfg = model.cfg
 
-    @jax.jit
-    def eval_step(params, batch_stats, x, y, mask):
+    def _eval(params, batch_stats, x, y, mask):
         variables = {"params": params}
         if cfg.use_bn != "none":
             variables["batch_stats"] = batch_stats
@@ -375,4 +407,13 @@ def make_eval_step(model: VideoModel,
             "feat": out_t.feat[1],
         }
 
-    return eval_step
+    if not gather_on_device:
+        return jax.jit(_eval)
+
+    @jax.jit
+    def eval_step_gather(params, batch_stats, store, idx, y, mask):
+        x = device_gather(store, idx)
+        x = x * mask[:, None, None].astype(x.dtype)
+        return _eval(params, batch_stats, x, y, mask)
+
+    return eval_step_gather
