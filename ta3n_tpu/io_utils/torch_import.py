@@ -153,25 +153,24 @@ def import_torch_state_dict(state: Dict[str, Any]
     # per-gate flax cells (RNNAggregator layout: rnn/rnn_{l}/cell_{l})
     rnn_keys = {k for k in state if k.startswith("rnn.")}
     if rnn_keys:
-        if any("_reverse" in k for k in rnn_keys):
-            raise NotImplementedError(
-                "bidirectional RNN import is not supported")
-        layers = sorted({int(k.split("_l")[-1]) for k in rnn_keys
-                         if "_l" in k})
+        bidir = any("_reverse" in k for k in rnn_keys)
+        layers = sorted({int(k.split("_l")[-1].replace("_reverse", ""))
+                         for k in rnn_keys if "_l" in k})
         rnn_tree: Dict[str, Any] = {}
         n_layers = 1 + max(layers)
         gru = (_to_np(state["rnn.weight_ih_l0"]).shape[0]
                == 3 * _to_np(state["rnn.weight_hh_l0"]).shape[1])
-        for l in range(n_layers):
-            w_ih = _to_np(take(f"rnn.weight_ih_l{l}"))
-            w_hh = _to_np(take(f"rnn.weight_hh_l{l}"))
-            b_ih = _to_np(take(f"rnn.bias_ih_l{l}"))
-            b_hh = _to_np(take(f"rnn.bias_hh_l{l}"))
+
+        def convert_cell(suffix_l):
+            w_ih = _to_np(take(f"rnn.weight_ih_{suffix_l}"))
+            w_hh = _to_np(take(f"rnn.weight_hh_{suffix_l}"))
+            b_ih = _to_np(take(f"rnn.bias_ih_{suffix_l}"))
+            b_hh = _to_np(take(f"rnn.bias_hh_{suffix_l}"))
             hdim = w_hh.shape[1]
             if gru:  # torch gate order r, z, n (GRUCell docs)
                 r, z, n = (slice(0, hdim), slice(hdim, 2 * hdim),
                            slice(2 * hdim, 3 * hdim))
-                cell = {
+                return {
                     "ir": {"kernel": w_ih[r].T,
                            "bias": b_ih[r] + b_hh[r]},
                     "iz": {"kernel": w_ih[z].T,
@@ -181,17 +180,24 @@ def import_torch_state_dict(state: Dict[str, Any]
                     "hz": {"kernel": w_hh[z].T},
                     "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
                 }
-            else:  # LSTM gate order i, f, g, o
-                sl = {g: slice(j * hdim, (j + 1) * hdim)
-                      for j, g in enumerate("ifgo")}
-                cell = {}
-                for g in "ifgo":
-                    cell[f"i{g}"] = {"kernel": w_ih[sl[g]].T}
-                    cell[f"h{g}"] = {"kernel": w_hh[sl[g]].T,
-                                     "bias": b_ih[sl[g]] + b_hh[sl[g]]}
-            # cells are scoped directly under the RNNAggregator (the cell
-            # modules are constructed in its scope)
-            rnn_tree[f"cell_{l}"] = cell
+            # LSTM gate order i, f, g, o
+            sl = {g: slice(j * hdim, (j + 1) * hdim)
+                  for j, g in enumerate("ifgo")}
+            cell = {}
+            for g in "ifgo":
+                cell[f"i{g}"] = {"kernel": w_ih[sl[g]].T}
+                cell[f"h{g}"] = {"kernel": w_hh[sl[g]].T,
+                                 "bias": b_ih[sl[g]] + b_hh[sl[g]]}
+            return cell
+
+        # cells are scoped directly under the RNNAggregator (the cell
+        # modules are constructed in its scope)
+        for l in range(n_layers):
+            if bidir:
+                rnn_tree[f"cell_fwd_{l}"] = convert_cell(f"l{l}")
+                rnn_tree[f"cell_bwd_{l}"] = convert_cell(f"l{l}_reverse")
+            else:
+                rnn_tree[f"cell_{l}"] = convert_cell(f"l{l}")
         params["rnn"] = rnn_tree
 
     for k in state:

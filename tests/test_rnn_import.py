@@ -15,10 +15,11 @@ from ta3n_tpu.models.rnn import RNNAggregator
 B, S, H = 3, 5, 16   # n_ts == S so chunk pooling is identity
 
 
-def run_ours(cell_type, n_rnn, rnn_params, x):
+def run_ours(cell_type, n_rnn, rnn_params, x, n_directions=1):
     cfg = ModelConfig(num_class=2, feature_dim=H, fc_dim=H,
                       train_segments=S, val_segments=S, rnn_cell=cell_type,
-                      n_rnn=n_rnn, n_ts=S, frame_aggregation="rnn",
+                      n_rnn=n_rnn, n_ts=S, n_directions=n_directions,
+                      frame_aggregation="rnn",
                       baseline_type="video", use_attn="none")
     agg = RNNAggregator(cfg)
     # template init to get the full structure, then overwrite
@@ -45,8 +46,14 @@ def test_rnn_import_matches_torch(cell_type, n_rnn):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_bidirectional_rnn_import_rejected():
+def test_bidirectional_lstm_import_matches_torch():
+    torch.manual_seed(1)
     mod = torch.nn.LSTM(H, H // 2, 1, batch_first=True, bidirectional=True)
+    x = np.random.default_rng(1).normal(size=(B, S, H)).astype(np.float32)
+    with torch.no_grad():
+        out, _ = mod(torch.from_numpy(x))
+    want = out[:, -1, :].numpy()
     state = {f"rnn.{k}": v for k, v in mod.state_dict().items()}
-    with pytest.raises(NotImplementedError):
-        import_torch_state_dict(state)
+    params, _ = import_torch_state_dict(state)
+    got = run_ours("LSTM", 1, params["rnn"], x, n_directions=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
