@@ -70,6 +70,12 @@ class ModelConfig:
                 "avgpool", "rnn", "temconv", "trn", "trn-m", "none"):
             raise ValueError(
                 f"unknown frame_aggregation {self.frame_aggregation}")
+        if self.frame_aggregation == "none":
+            # 'none' is accepted by the reference CLI (opts.py:19-20,
+            # "none if baseline_type is not video") but its forward still
+            # unconditionally aggregates and crashes on it; we map it to
+            # avgpool, which is what frame/tsn baselines effectively use.
+            object.__setattr__(self, "frame_aggregation", "avgpool")
         if self.use_attn in ("DotProduct",):
             # Accepted-but-unimplemented in the reference (opts.py:50-51);
             # we reject it loudly instead of silently doing nothing.

@@ -387,6 +387,21 @@ class Trainer:
 
     # ---- full run (main.py:228-306) ----
     def fit(self):
+        """Epoch loop with emergency checkpointing: an interrupt or crash
+        mid-run saves a resumable checkpoint before re-raising (failure
+        recovery the reference lacks, SURVEY §5.3)."""
+        try:
+            return self._fit()
+        except BaseException:
+            if self.save_model and self._last_epoch_done >= 1:
+                self.save(self._last_epoch_done, self.best_prec1, False)
+                print(f"emergency checkpoint saved at epoch "
+                      f"{self._last_epoch_done} -> {self.path_exp}")
+            raise
+
+    _last_epoch_done = 0
+
+    def _fit(self):
         tc = self.train_cfg
         for epoch in range(self.start_epoch, tc.epochs + 1):
             # epoch-level lr rules (main.py:234-237)
@@ -398,6 +413,7 @@ class Trainer:
                 self.lr_current /= tc.lr_decay
 
             loss_c = self.train_epoch(epoch)
+            self._last_epoch_done = epoch
             self.loss_c_previous = self.loss_c_current
             self.loss_c_current = loss_c
 
