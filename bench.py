@@ -3,16 +3,18 @@
 Measures the flagship configuration (UCF->HMDB_full published recipe:
 trn-m aggregation, TransAttn, attentive entropy, RevGrad at all three
 levels, batch 128 source / 74 target, 5 segments, 2048-d ResNet-101
-features, fc_dim 512 — script_train_val.sh:10-17,96-101,136-155) and
-prints ONE JSON line.
+features, fc_dim 512 — script_train_val.sh:10-17,96-101,136-155) in the
+production execution mode: HBM-resident feature store with on-device
+gather and K=8 optimizer steps per dispatch (lax.scan) — every step is a
+complete forward (both streams) + all DA losses + backward + clip +
+weight decay + momentum + update.  Equivalence of this mode with
+one-step-at-a-time execution is covered by tests/test_multi_step.py and
+tests/test_device_store.py.  Prints ONE JSON line.
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).
-``vs_baseline`` is computed against REFERENCE_V100_VPS, an estimate of the
-PyTorch-0.4 reference on a V100 derived from its per-step structure
-(two-stream forward of ~40 small GEMMs + backward, DataParallel
-scatter/gather and per-loss .item() syncs each batch, main.py:348-628:
-~40 ms/step at batch 202 -> ~5000 videos/s).  The driver's north star is
->=10x this estimate.
+``vs_baseline`` is against REFERENCE_V100_VPS, an estimate of the
+PyTorch-0.4 reference on a V100 (see BENCH_NOTES.md for the derivation;
+the driver's >=10x north star corresponds to vs_baseline >= 10).
 """
 
 from __future__ import annotations
@@ -27,14 +29,16 @@ import numpy as np
 REFERENCE_V100_VPS = 5000.0
 
 BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12
-WARMUP, ITERS, WINDOWS = 10, 60, 3
+K = 8                      # optimizer steps per dispatch
+WARMUP, CALLS, WINDOWS = 3, 15, 3
+STORE_S_ROWS, STORE_T_ROWS = 20000, 12000
 
 
 def main():
     from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
     from ta3n_tpu.models import VideoModel
-    from ta3n_tpu.train import (StepScalars, create_train_state,
-                                make_train_step)
+    from ta3n_tpu.train import StepScalars, create_train_state
+    from ta3n_tpu.train.step import make_multi_train_step
 
     cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
                       frame_aggregation="trn-m", train_segments=SEG,
@@ -49,44 +53,40 @@ def main():
     model = VideoModel(cfg)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, rng, BS, BT, tc)
-    step = make_train_step(model, da, tc)
+    step = make_multi_train_step(model, da, tc)
 
-    gen = np.random.default_rng(0)
-    dev = jax.devices()[0]
-    xs = jax.device_put(gen.normal(size=(BS, SEG, FDIM)).astype(np.float32),
-                        dev)
-    xt = jax.device_put(gen.normal(size=(BT, SEG, FDIM)).astype(np.float32),
-                        dev)
-    ys = jax.device_put(gen.integers(0, NCLASS, size=BS).astype(np.int32),
-                        dev)
-    yt = jax.device_put(gen.integers(0, NCLASS, size=BT).astype(np.int32),
-                        dev)
-    ms = jax.device_put(np.ones(BS, np.float32), dev)
-    mt = jax.device_put(np.ones(BT, np.float32), dev)
-    sc = StepScalars(jnp.array([0.75, 0.75, 0.5]), jnp.asarray(0.0),
-                     jnp.asarray(0.0), jnp.asarray(0.003),
-                     jnp.asarray(0.03))
+    g = np.random.default_rng(0)
+    store_s = jax.device_put(
+        g.normal(size=(STORE_S_ROWS, FDIM)).astype(np.float32))
+    store_t = jax.device_put(
+        g.normal(size=(STORE_T_ROWS, FDIM)).astype(np.float32))
+    idx_s = g.integers(0, STORE_S_ROWS, size=(K, BS, SEG)).astype(np.int32)
+    idx_t = g.integers(0, STORE_T_ROWS, size=(K, BT, SEG)).astype(np.int32)
+    ys = g.integers(0, NCLASS, size=(K, BS)).astype(np.int32)
+    yt = g.integers(0, NCLASS, size=(K, BT)).astype(np.int32)
+    ms = np.ones((K, BS), np.float32)
+    mt = np.ones((K, BT), np.float32)
+    sc = StepScalars(np.tile(np.float32([0.75, 0.75, 0.5]), (K, 1)),
+                     np.zeros(K, np.float32), np.zeros(K, np.float32),
+                     np.full(K, 0.003, np.float32),
+                     np.full(K, 0.03, np.float32))
 
     for i in range(WARMUP):
-        state, m = step(state, xs, ys, ms, xt, yt, mt, sc,
-                        jax.random.fold_in(rng, i))
+        state, m = step(state, store_s, idx_s, ys, ms, store_t, idx_t, yt,
+                        mt, sc, rng)
     jax.block_until_ready(m["loss"])
 
-    # best of WINDOWS timing windows: the step is dispatch-latency bound on
-    # a tunneled single chip, so take the least-interfered window
     best = float("inf")
-    k = WARMUP
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
-        for i in range(ITERS):
-            state, m = step(state, xs, ys, ms, xt, yt, mt, sc,
-                            jax.random.fold_in(rng, k))
-            k += 1
+        for i in range(CALLS):
+            state, m = step(state, store_s, idx_s, ys, ms, store_t, idx_t,
+                            yt, mt, sc, rng)
         jax.block_until_ready(m["loss"])
         best = min(best, time.perf_counter() - t0)
 
-    videos_per_step = BS + BT
-    vps = videos_per_step * ITERS / best
+    steps = CALLS * K
+    vps = (BS + BT) * steps / best
     print(json.dumps({
         "metric": "train_videos_per_sec_per_chip",
         "value": round(vps, 1),

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--shift", type=float, default=1.2)
     ap.add_argument("--device_store", action="store_true",
                     help="HBM-resident feature stores, on-device gather")
+    ap.add_argument("--steps_per_call", type=int, default=1)
     args = ap.parse_args()
 
     src = make_synthetic_store(1438, 12, args.feature_dim, shift=0.0,
@@ -57,7 +58,8 @@ def main():
     trainer = Trainer(cfg, da, tc, ls, lt, lv, path_exp=exp + "/",
                       print_freq=10, show_freq=10, eval_freq=5,
                       save_model=True, use_mesh=False,
-                      device_store=args.device_store)
+                      device_store=args.device_store,
+                      steps_per_call=args.steps_per_call)
     t0 = time.time()
     best = trainer.fit()
     dt = time.time() - t0

@@ -148,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='keep the packed feature stores resident in '
                              'HBM and gather batches on device (only '
                              'indices cross the host boundary)')
+    parser.add_argument('--steps_per_call', type=int, default=1,
+                        help='optimizer steps per dispatch (lax.scan); '
+                             'amortizes dispatch latency; device_store '
+                             'only')
     return parser
 
 

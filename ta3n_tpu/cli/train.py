@@ -70,7 +70,8 @@ def main(argv=None):
                                        if args.tensorboard else None),
                       profile_dir=args.profile_dir,
                       num_devices=args.num_devices,
-                      device_store=args.device_store)
+                      device_store=args.device_store,
+                      steps_per_call=args.steps_per_call)
 
     if args.resume:
         if os.path.isdir(args.resume):

@@ -96,7 +96,8 @@ class Trainer:
                  tensorboard_dir: Optional[str] = None,
                  profile_dir: Optional[str] = None,
                  num_devices: Optional[int] = None,
-                 device_store: bool = False):
+                 device_store: bool = False,
+                 steps_per_call: int = 1):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -123,6 +124,16 @@ class Trainer:
         dw = jnp.asarray(domain_weights) if domain_weights is not None \
             else None
         self.device_store = device_store
+        # K optimizer steps per dispatch (device-store only; falls back to
+        # 1 when per-step aux outputs are requested)
+        self.steps_per_call = steps_per_call if (
+            device_store and not self._need_aux
+            and not da_cfg.pretrain_source) else 1
+        self.multi_step = None
+        if self.steps_per_call > 1:
+            from ta3n_tpu.train.step import make_multi_train_step
+            self.multi_step = make_multi_train_step(
+                self.model, da_cfg, train_cfg, cw, dw)
         self.train_step = make_train_step(self.model, da_cfg, train_cfg,
                                           cw, dw,
                                           return_aux=self._need_aux,
@@ -226,7 +237,21 @@ class Trainer:
         attn_src_epoch, attn_tgt_epoch = [], []
 
         def flush():
-            for m in pending:
+            if not pending:
+                return
+            # ONE host transfer for all pending metrics (per-scalar float()
+            # calls would each be a blocking device roundtrip)
+            host = jax.device_get(pending)
+            pending.clear()
+            rows = []
+            for item in host:
+                if isinstance(item, tuple) and item[0] == "stacked":
+                    _, m, k = item
+                    rows.extend({key: v[j] for key, v in m.items()}
+                                for j in range(k))
+                else:
+                    rows.append(item)
+            for m in rows:
                 n = float(m["n"])
                 meters["loss"].update(float(m["loss"]))
                 meters["loss_c"].update(float(m["loss_c"]), n)
@@ -237,7 +262,11 @@ class Trainer:
                                       n)
                 meters["top5"].update(100.0 * float(m["top5"]) / max(n, 1),
                                       n)
-            pending.clear()
+
+        if self.multi_step is not None:
+            return self._train_epoch_multi(epoch, meters, pairs, flush,
+                                           pending, alpha, start_steps,
+                                           total_steps, len_loader)
 
         profiling = False
         for i, (bs, bt) in enumerate(pairs):
@@ -319,6 +348,69 @@ class Trainer:
                 store.append(rows.mean(axis=0) if len(rows) else
                              np.zeros(rows.shape[1]))
         self.tb.write_epoch(epoch * len_loader)
+        if self.logs and last_line:
+            self.logs.write("train_short.log", last_line)
+        return meters["loss_c"].avg
+
+    def _train_epoch_multi(self, epoch, meters, pairs, flush, pending,
+                           alpha, start_steps, total_steps, len_loader):
+        """K-steps-per-dispatch epoch (device-store mode): stack K index
+        batches + per-step schedule scalars and scan them in one call."""
+        tc = self.train_cfg
+        K = self.steps_per_call
+        end = time.time()
+        last_line = ""
+        chunk = []
+        i = 0
+
+        def run_chunk(chunk):
+            nonlocal last_line, end, i
+            k = len(chunk)
+            betas, lrs = [], []
+            for j in range(k):
+                p = progress(i + j, start_steps, total_steps)
+                betas.append(effective_beta(tc.beta, p))
+                lrs.append(self.lr_current)
+                if tc.lr_adaptive == "dann":  # main.py:619-621
+                    self.lr_current = dann_lr(tc.lr, p)
+            sc = StepScalars(
+                np.asarray(betas, np.float32),
+                np.full(k, tc.mu, np.float32),
+                np.full(k, alpha, np.float32),
+                np.full(k, tc.gamma, np.float32),
+                np.asarray(lrs, np.float32))
+            stack = lambda xs: jnp.stack(xs)
+            bs_list, bt_list = zip(*chunk)
+            self.state, m = self.multi_step(
+                self.state,
+                self._dev_store_s, stack([b.abs_indices for b in bs_list]),
+                stack([b.labels for b in bs_list]),
+                stack([b.mask for b in bs_list]),
+                self._dev_store_t, stack([b.abs_indices for b in bt_list]),
+                stack([b.labels for b in bt_list]),
+                stack([b.mask for b in bt_list]),
+                sc, self.rng)
+            # keep the stacked dict; split per step lazily at flush time
+            pending.append(("stacked", m, k))
+            meters["batch_time"].update((time.time() - end) / k, k)
+            end = time.time()
+            i += k
+            if (i - k) // K % max(self.print_freq // K, 1) == 0:
+                flush()
+                last_line = self._format_train_line(
+                    epoch, i - 1, len_loader, meters, alpha, betas[-1], tc)
+                if self.logs:
+                    self.logs.write("train.log", last_line)
+                print(last_line)
+
+        for bs, bt in pairs:
+            chunk.append((bs, bt))
+            if len(chunk) == K:
+                run_chunk(chunk)
+                chunk = []
+        if chunk:
+            run_chunk(chunk)
+        flush()
         if self.logs and last_line:
             self.logs.write("train_short.log", last_line)
         return meters["loss_c"].avg

@@ -368,10 +368,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     if not gather_on_device:
         return partial(jax.jit, donate_argnums=(0,))(_run)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step_gather(state: TrainState, store_s, idx_s, ys, mask_s,
-                          store_t, idx_t, yt, mask_t,
-                          scalars: StepScalars, rng):
+    def _gather_run(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
+                    mask_t, scalars, rng):
         xs = device_gather(store_s, idx_s)
         xt = device_gather(store_t, idx_t)
         # zero the masked rows (the loader points them at row 0)
@@ -379,7 +377,47 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         xt = xt * mask_t[:, None, None].astype(xt.dtype)
         return _run(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_gather(state: TrainState, store_s, idx_s, ys, mask_s,
+                          store_t, idx_t, yt, mask_t,
+                          scalars: StepScalars, rng):
+        return _gather_run(state, store_s, idx_s, ys, mask_s, store_t,
+                           idx_t, yt, mask_t, scalars, rng)
+
+    train_step_gather.raw = _gather_run
     return train_step_gather
+
+
+def make_multi_train_step(model: VideoModel, da: DAConfig,
+                          train_cfg: TrainConfig,
+                          class_weights: Optional[jnp.ndarray] = None,
+                          domain_weights: Optional[jnp.ndarray] = None):
+    """K optimizer steps per dispatch: lax.scan over stacked index batches
+    against HBM-resident stores.
+
+    On a tunneled / dispatch-latency-bound runtime each jit call costs
+    ~0.7 ms regardless of work; scanning K steps inside one call amortizes
+    it to ~0.7/K ms.  Signature:
+      multi_step(state, store_s, idx_s [K,B,T], ys [K,B], mask_s [K,B],
+                 store_t, idx_t, yt, mask_t, scalars (each field stacked
+                 [K,...]), rng) -> (state, metrics stacked [K])
+    """
+    step_fn = make_train_step(model, da, train_cfg, class_weights,
+                              domain_weights, gather_on_device=True).raw
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
+                   mask_t, scalars: StepScalars, rng):
+        def body(st, per_step):
+            i_s, y_s, m_s, i_t, y_t, m_t, sc = per_step
+            new_st, metrics = step_fn(st, store_s, i_s, y_s, m_s,
+                                      store_t, i_t, y_t, m_t, sc, rng)
+            return new_st, metrics
+
+        xs = (idx_s, ys, mask_s, idx_t, yt, mask_t, scalars)
+        return jax.lax.scan(body, state, xs)
+
+    return multi_step
 
 
 def make_eval_step(model: VideoModel,
