@@ -1,0 +1,183 @@
+"""End-to-end TRAINING parity vs a PyTorch mirror.
+
+The torch mirror implements the published TA3N math (trn-m + TransAttn +
+RevGrad Y/Y/Y + attentive entropy) with a real GradReverse Function,
+torch CE losses, clip_grad_norm_(20) and SGD(momentum .9, nesterov,
+wd 1e-4) — i.e. the reference's full per-batch update (main.py:437-583).
+With dropout off, our jitted train step must produce the SAME parameters
+after several optimizer steps.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.io_utils.torch_import import import_torch_state_dict
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.ops.relation import build_relation_plan
+from ta3n_tpu.train import StepScalars, TrainState, make_train_step
+from ta3n_tpu.train.optim import make_optimizer
+
+B_S, B_T, S, D, FC, H, C = 6, 4, 5, 24, 16, 256, 6
+BETA = (0.75, 0.75, 0.5)
+GAMMA = 0.003
+LR = 0.03
+N_STEPS = 4
+
+
+class GradReverse(torch.autograd.Function):
+    @staticmethod
+    def forward(ctx, x, beta):
+        ctx.beta = beta
+        return x.view_as(x)
+
+    @staticmethod
+    def backward(ctx, g):
+        return -ctx.beta * g, None
+
+
+def build_torch_modules(seed=0):
+    from tests.test_torch_import import build_torch_state  # reuse builder
+    return build_torch_state(seed)
+
+
+def torch_entropy(p):
+    return torch.sum(-F.softmax(p, dim=-1) * F.log_softmax(p, dim=-1),
+                     dim=-1)
+
+
+def torch_forward_train(mods, x, beta):
+    """Training-mode mirror WITH GradReverse at all three levels."""
+    plan = build_relation_plan(S)
+    b = x.shape[0]
+    f = torch.relu(mods["fc_feature_shared_source"](x.reshape(-1, D)))
+    dom_frame = mods["fc_classifier_domain"](torch.relu(
+        mods["fc_feature_domain"](GradReverse.apply(f, beta[2]))))
+
+    feat_seg = f.reshape(b, S, FC)
+    rel = []
+    for i, (k, subsets) in enumerate(zip(plan.scales, plan.subsets)):
+        acc = 0
+        for subset in subsets:
+            g = feat_seg[:, list(subset), :].reshape(b, k * FC)
+            acc = acc + torch.relu(
+                mods[f"TRN.fc_fusion_scales.{i}.1"](torch.relu(g)))
+        rel.append(acc)
+    rel = torch.stack(rel, dim=1)
+
+    rel_rev = GradReverse.apply(rel, beta[0])
+    dom_rel = []
+    for i in range(S - 1):
+        hh = torch.relu(
+            mods[f"relation_domain_classifier_all.{i}.0"](rel_rev[:, i, :]))
+        dom_rel.append(mods[f"relation_domain_classifier_all.{i}.2"](hh))
+    dom_rel = torch.stack(dom_rel, dim=1)
+
+    w = 1 - torch_entropy(dom_rel)
+    rel = (w.unsqueeze(-1) + 1) * rel
+    feat_video = rel.sum(dim=1)
+
+    pred_video = mods["fc_classifier_video_source"](feat_video)
+    dom_video = mods["fc_classifier_domain_video"](torch.relu(
+        mods["fc_feature_domain_video"](
+            GradReverse.apply(feat_video, beta[1]))))
+    return pred_video, dom_rel, dom_video, dom_frame.reshape(b, S, 2)
+
+
+def torch_train(mods, state_params, xs, ys, xt, yt):
+    opt = torch.optim.SGD(state_params, lr=LR, momentum=0.9,
+                          weight_decay=1e-4, nesterov=True)
+    losses = []
+    for _ in range(N_STEPS):
+        out_s, rel_s, vid_s, frm_s = torch_forward_train(
+            mods, torch.from_numpy(xs), BETA)
+        out_t, rel_t, vid_t, frm_t = torch_forward_train(
+            mods, torch.from_numpy(xt), BETA)
+        loss = F.cross_entropy(out_s, torch.from_numpy(ys))
+        # adversarial CE at all three levels (main.py:507-538)
+        for ps, pt in ((rel_s.reshape(-1, 2), rel_t.reshape(-1, 2)),
+                       (vid_s, vid_t),
+                       (frm_s.reshape(-1, 2), frm_t.reshape(-1, 2))):
+            logits = torch.cat([ps, pt])
+            labels = torch.cat([torch.zeros(len(ps), dtype=torch.long),
+                                torch.ones(len(pt), dtype=torch.long)])
+            loss = loss + F.cross_entropy(logits, labels)
+        # attentive entropy on video-level domain logits (main.py:558-562)
+        pred_all = torch.cat([out_s, out_t])
+        dom_all = torch.cat([vid_s, vid_t])
+        weights = 1 + torch_entropy(dom_all)
+        loss = loss + GAMMA * torch.mean(weights * torch_entropy(pred_all))
+
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(state_params, 20)
+        opt.step()
+        losses.append(float(loss))
+    return losses
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_training_parity_with_torch(seed):
+    mods, state = build_torch_modules(seed)
+    torch_params = [p for m in mods.values() for p in m.parameters()]
+
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(B_S, S, D)).astype(np.float32)
+    xt = rng.normal(size=(B_T, S, D)).astype(np.float32)
+    ys = rng.integers(0, C, size=B_S).astype(np.int64)
+    yt = rng.integers(0, C, size=B_T).astype(np.int64)
+
+    # ---- ours ----
+    cfg = ModelConfig(num_class=C, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=S,
+                      val_segments=S, fc_dim=FC, feature_dim=D,
+                      use_attn="TransAttn", dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  add_loss_DA="attentive_entropy",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=LR, batch_size=(B_S, B_T, B_S))
+    model = VideoModel(cfg)
+    params, _ = import_torch_state_dict(state)
+    tx = make_optimizer("SGD", 0.9, 1e-4, 20.0)
+    st = TrainState(params, {}, tx.init(params), jnp.asarray(0, jnp.int32))
+    step = make_train_step(model, da, tc)
+    sc = StepScalars(np.asarray(BETA, np.float32), np.float32(0),
+                     np.float32(0), np.float32(GAMMA), np.float32(LR))
+    our_losses = []
+    for _ in range(N_STEPS):
+        st, m = step(st, xs, ys.astype(np.int32), np.ones(B_S, np.float32),
+                     xt, yt.astype(np.int32), np.ones(B_T, np.float32),
+                     sc, jax.random.PRNGKey(0))
+        our_losses.append(float(m["loss"]))
+
+    # ---- torch ----
+    torch_losses = torch_train(mods, torch_params, xs, ys, xt, yt)
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4)
+
+    # parameters after N steps must match (spot-check every module)
+    ours_after = st.params
+    for name, mod in mods.items():
+        want_w = mod.weight.detach().numpy().T
+        if name.startswith("TRN.fc_fusion_scales"):
+            i = name.split(".")[2]
+            got_w = np.asarray(ours_after["TRN"][f"w_scale_{i}"])
+            got_b = np.asarray(ours_after["TRN"][f"b_scale_{i}"])
+        elif name.startswith("relation_domain_classifier_all"):
+            _, i, pos = name.split(".")[-3:]
+            fc = "relation_domain_fc1" if pos == "0" else \
+                "relation_domain_fc2"
+            got_w = np.asarray(ours_after[f"{fc}_{i}"]["kernel"])
+            got_b = np.asarray(ours_after[f"{fc}_{i}"]["bias"])
+        else:
+            got_w = np.asarray(ours_after[name]["kernel"])
+            got_b = np.asarray(ours_after[name]["bias"])
+        np.testing.assert_allclose(got_w, want_w, rtol=1e-3, atol=2e-5,
+                                   err_msg=name)
+        np.testing.assert_allclose(got_b, mod.bias.detach().numpy(),
+                                   rtol=1e-3, atol=2e-5, err_msg=name)
