@@ -13,9 +13,11 @@ scales and subsets into a single Pallas launch:
     'gathers' are static VMEM slices — no gather ops, no index traffic;
   * one kernel, one output write [TB, (S-1)*H] — vs 10+ HLO ops.
 
-Backward is expressed in XLA (einsum) inside the custom_vjp — the FLOPs
-are identical and XLA fuses the recompute chain well; the forward is the
-latency-critical path (eval/serving).
+The backward is a second fused Pallas kernel (recompute-based): one launch
+produces dx plus every scale's dW/db, with weight-gradient accumulation
+across batch-tile grid steps (revisited output blocks).  An XLA einsum
+backward is kept as the interpret/CPU fallback and as the equivalence
+oracle in tests.
 """
 
 from __future__ import annotations
@@ -138,6 +140,130 @@ def _fused_forward(x, weights, biases, num_frames, subsample_num,
     return out[:b].reshape(b, n_scales, h)
 
 
+def _bwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
+    """Fused backward: recompute z per subset, chain rule, accumulate
+    dW/db across the batch-tile grid (out blocks revisited every step)."""
+    x_ref = refs[0]
+    g_ref = refs[1]
+    w_refs = refs[2:2 + n_scales]
+    b_refs = refs[2 + n_scales:2 + 2 * n_scales]
+    dx_ref = refs[2 + 2 * n_scales]
+    dw_refs = refs[3 + 2 * n_scales:3 + 3 * n_scales]
+    db_refs = refs[3 + 3 * n_scales:3 + 4 * n_scales]
+
+    first_tile = pl.program_id(0) == 0
+
+    xr = jnp.maximum(x_ref[:, :], 0.0)          # relu(x)
+    relu_mask = (x_ref[:, :] > 0).astype(jnp.float32)
+    num_frames = plan.num_frames
+    tb = x_ref.shape[0]
+    # per-frame accumulators (static python list — no scatter ops)
+    dx_frames = [jnp.zeros((tb, d), jnp.float32) for _ in range(num_frames)]
+
+    for scale_id, subsets in enumerate(plan.subsets):
+        w = w_refs[scale_id]
+        bias = b_refs[scale_id][0, :]
+        gs = g_ref[:, scale_id * h:(scale_id + 1) * h].astype(jnp.float32)
+        dw_acc = jnp.zeros(w.shape, jnp.float32)
+        db_acc = jnp.zeros((1, h), jnp.float32)
+        for subset in subsets:
+            z = None
+            for p, frame in enumerate(subset):
+                zi = jnp.dot(xr[:, frame * d:(frame + 1) * d],
+                             w[p * d:(p + 1) * d, :],
+                             preferred_element_type=jnp.float32)
+                z = zi if z is None else z + zi
+            m = jnp.where(z + bias[None, :] > 0, gs, 0.0)   # [TB, H]
+            db_acc = db_acc + jnp.sum(m, axis=0, keepdims=True)
+            parts = []
+            for p, frame in enumerate(subset):
+                parts.append(jnp.dot(
+                    xr[:, frame * d:(frame + 1) * d].T, m,
+                    preferred_element_type=jnp.float32))
+                dxi = jnp.dot(m, w[p * d:(p + 1) * d, :].T,
+                              preferred_element_type=jnp.float32)
+                dx_frames[frame] = dx_frames[frame] + dxi
+            dw_acc = dw_acc + jnp.concatenate(parts, axis=0)
+
+        @pl.when(first_tile)
+        def _(dw_ref=dw_refs[scale_id], db_ref=db_refs[scale_id],
+              dw_acc=dw_acc, db_acc=db_acc):
+            dw_ref[:, :] = dw_acc.astype(dw_ref.dtype)
+            db_ref[:, :] = db_acc.astype(db_ref.dtype)
+
+        @pl.when(jnp.logical_not(first_tile))
+        def _(dw_ref=dw_refs[scale_id], db_ref=db_refs[scale_id],
+              dw_acc=dw_acc, db_acc=db_acc):
+            dw_ref[:, :] = dw_ref[:, :] + dw_acc.astype(dw_ref.dtype)
+            db_ref[:, :] = db_ref[:, :] + db_acc.astype(db_ref.dtype)
+
+    dx = jnp.concatenate(dx_frames, axis=1)
+    dx_ref[:, :] = (dx * relu_mask).astype(dx_ref.dtype)
+
+
+def _fused_backward_pallas(x, weights, biases, g, num_frames,
+                           subsample_num, interpret, tile_batch=None):
+    plan = build_relation_plan(num_frames, subsample_num)
+    b, s, d = x.shape
+    h = weights[0].shape[-1]
+    n_scales = len(plan.scales)
+
+    weight_bytes = sum(w.size * w.dtype.itemsize for w in weights)
+    tb = tile_batch or min(_round_up(b, 8), 256)
+    while tb > 64 and (4 * tb * s * d * 4 + 2 * tb * n_scales * h * 4
+                       + 3 * weight_bytes) > 90 * 2**20:
+        tb //= 2
+    b_pad = _round_up(b, tb)
+    xf = x.reshape(b, s * d)
+    gf = g.reshape(b, n_scales * h)
+    if b_pad != b:
+        xf = jnp.pad(xf, ((0, b_pad - b), (0, 0)))
+        gf = jnp.pad(gf, ((0, b_pad - b), (0, 0)))
+
+    grid = (b_pad // tb,)
+    in_specs = [
+        pl.BlockSpec((tb, s * d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n_scales * h), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for _ in biases:
+        in_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs = [pl.BlockSpec((tb, s * d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((b_pad, s * d), x.dtype)]
+    for w in weights:  # dW: same block every grid step (accumulated)
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+    for _ in biases:
+        out_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((1, h), jnp.float32))
+
+    kernel = functools.partial(_bwd_kernel, plan, d, h, n_scales)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(xf, gf, *weights, *[bi.reshape(1, h) for bi in biases])
+
+    dx = outs[0][:b].reshape(b, s, d)
+    dws = [o.astype(w.dtype) for o, w in zip(outs[1:1 + n_scales], weights)]
+    dbs = [o[0].astype(bi.dtype)
+           for o, bi in zip(outs[1 + n_scales:], biases)]
+    return dx, tuple(dws), tuple(dbs)
+
+
 def _fused_fwd(x, weights, biases, num_frames, subsample_num, interpret):
     out = _fused_forward(x, weights, biases, num_frames, subsample_num,
                          interpret)
@@ -145,7 +271,14 @@ def _fused_fwd(x, weights, biases, num_frames, subsample_num, interpret):
 
 
 def _fused_bwd(num_frames, subsample_num, interpret, residuals, g):
-    """XLA backward: recompute per-subset activations, chain rule."""
+    """Backward via the fused Pallas kernel (interpreted off-TPU)."""
+    x, weights, biases = residuals
+    return _fused_backward_pallas(x, weights, biases, g, num_frames,
+                                  subsample_num, interpret)
+
+
+def _fused_bwd_xla(num_frames, subsample_num, residuals, g):
+    """XLA backward (equivalence oracle for the Pallas backward)."""
     x, weights, biases = residuals
     plan = build_relation_plan(num_frames, subsample_num)
     b, s, d = x.shape

@@ -70,6 +70,43 @@ def test_module_pallas_flag_matches_xla(data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
+def test_pallas_backward_matches_xla_backward(data):
+    x, weights, biases = data
+    g = jnp.asarray(np.random.default_rng(2).normal(
+        size=(B, S - 1, H)).astype(np.float32))
+    from ta3n_tpu.ops.trn_fused import (_fused_backward_pallas,
+                                        _fused_bwd_xla)
+    dx_p, dw_p, db_p = _fused_backward_pallas(x, weights, biases, g, S, 3,
+                                              True)
+    dx_x, dw_x, db_x = _fused_bwd_xla(S, 3, (x, weights, biases), g)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(dw_p, dw_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+    for a, b in zip(db_p, db_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_pallas_backward_multi_tile_accumulation(data):
+    """dW accumulation across batch-tile grid steps: >1 tile vs 1 tile."""
+    _, weights, biases = data
+    rng = np.random.default_rng(3)
+    xb = jnp.asarray(rng.normal(size=(20, S, D)).astype(np.float32))
+    gb = jnp.asarray(rng.normal(size=(20, S - 1, H)).astype(np.float32))
+    from ta3n_tpu.ops import trn_fused as tf
+    dx1, dw1, db1 = tf._fused_bwd_xla(S, 3, (xb, weights, biases), gb)
+    # force 3 grid tiles (20 rows, tile 8 -> padded 24)
+    dx2, dw2, db2 = tf._fused_backward_pallas(xb, weights, biases, gb,
+                                              S, 3, True, tile_batch=8)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), rtol=1e-4,
+                               atol=1e-5)
+    for a, b in zip(dw2, dw1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_fused_odd_batch_padding(data):
     x, weights, biases = data
     x7 = x[:5]
