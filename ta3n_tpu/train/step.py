@@ -346,8 +346,9 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
             # (main.py:428-435)
             metrics["attn_s"] = out_s.attn
             metrics["attn_t"] = out_t.attn
-            metrics["feat_s"] = out_s.feat[1]
-            metrics["feat_t"] = out_t.feat[1]
+            fi = min(1, len(out_s.feat) - 1)
+            metrics["feat_s"] = out_s.feat[fi]
+            metrics["feat_t"] = out_t.feat[fi]
         return loss, (new_stats, metrics)
 
     def _run(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
@@ -442,7 +443,9 @@ def make_eval_step(model: VideoModel,
             "top5": topk_correct(o, lab, m, 5),
             "n": jnp.sum(m),
             "logits": o,
-            "feat": out_t.feat[1],
+            # video-level feature for embeddings (feat[1] in the reference,
+            # main.py:430; tsn/frame baselines expose fewer entries)
+            "feat": out_t.feat[min(1, len(out_t.feat) - 1)],
         }
 
     if not gather_on_device:
