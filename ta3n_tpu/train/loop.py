@@ -339,6 +339,9 @@ class Trainer:
             if tc.lr_adaptive == "dann":
                 self.lr_current = dann_lr(tc.lr, p)
 
+        if profiling:  # epoch shorter than the profiling window
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
         flush()
         if self.save_attention >= 0:
             # per-epoch mean attention vector (main.py:242-244,667)

@@ -58,6 +58,15 @@ def test_tensorboard_embeddings(tmp_path):
     assert any("tfevents" in f for f in files)
 
 
+def test_profiler_trace_written(tmp_path):
+    import os
+    tr = make_trainer(tmp_path)
+    tr.profile_dir = str(tmp_path / "prof")
+    tr.train_epoch(1)
+    found = [f for _, _, files in os.walk(tr.profile_dir) for f in files]
+    assert any("xplane" in f or "trace" in f for f in found), found
+
+
 def test_pretrain_source_step(tmp_path):
     tr = make_trainer(tmp_path, pretrain=True)
     best = tr.fit()
