@@ -197,6 +197,31 @@ def JAN(source_list: Sequence[jax.Array], target_list: Sequence[jax.Array],
     return _mmd_from_kernels(joint, batch_size, ver)
 
 
+def loss_adaptive_weight(loss: jax.Array, pred: jax.Array) -> jax.Array:
+    """Uncertainty-style adaptive loss weighting:
+    loss / log(var(pred)) + log(std(pred)).
+
+    Parity: reference `loss_adaptive_weight` (main.py:804-807) — defined
+    but never called by the reference train loop; provided for API
+    completeness.  torch .var()/.std() are unbiased over all elements.
+    """
+    flat = pred.reshape(-1)
+    n = flat.shape[0]
+    var = jnp.var(flat) * n / jnp.maximum(n - 1, 1)
+    return loss / jnp.log(var) + jnp.log(jnp.sqrt(var))
+
+
+def rand_select_batch(key: jax.Array, x: jax.Array, num: int):
+    """Random row subset: (indices, rows).
+
+    Parity: reference `randSelectBatch` (utils/utils.py:8-11) — unused by
+    the reference loop; provided for API completeness, keyed instead of
+    relying on global RNG state.
+    """
+    idx = jax.random.permutation(key, x.shape[0])[:num]
+    return idx, x[idx]
+
+
 def CORAL(source: jax.Array, target: jax.Array) -> jax.Array:
     """Deep CORAL: squared Frobenius distance of feature covariances.
 

@@ -134,6 +134,28 @@ def test_mmd_linear_matches_torch():
     assert got == pytest.approx(want, rel=1e-5)
 
 
+def test_loss_adaptive_weight_matches_torch():
+    # reference main.py:804-807 (defined-but-unused utility)
+    from ta3n_tpu.losses import loss_adaptive_weight
+    pred = RNG.normal(size=(6, 4)).astype(np.float32)
+    loss = np.float32(2.5)
+    t = _t(pred)
+    want = (loss / t.var().log() + t.std().log()).item()
+    got = float(loss_adaptive_weight(jnp.asarray(loss), jnp.asarray(pred)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_rand_select_batch():
+    import jax
+    from ta3n_tpu.losses import rand_select_batch
+    x = jnp.arange(20.0).reshape(10, 2)
+    idx, rows = rand_select_batch(jax.random.PRNGKey(0), x, 4)
+    assert idx.shape == (4,) and rows.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(rows),
+                               np.asarray(x)[np.asarray(idx)])
+    assert len(set(np.asarray(idx).tolist())) == 4  # no repeats
+
+
 def test_coral_reference_formula():
     # The reference never defines CORAL (NameError when selected,
     # main.py:492-495); golden-check our implementation against the
