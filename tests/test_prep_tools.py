@@ -1,0 +1,94 @@
+"""Offline preparation tools: split / list build / DA filter / weights."""
+
+import os
+
+import numpy as np
+
+from ta3n_tpu.prep.dataset2split import main as split_main
+from ta3n_tpu.prep.list2da import convert as list2da_convert
+from ta3n_tpu.prep.video_dataset2list import (build_list, load_class_map,
+                                              main as list_main)
+from ta3n_tpu.train.loop import class_weights_from_list
+
+
+def make_tree(root, classes, videos_per_class=4, frames=6):
+    for c in classes:
+        for v in range(videos_per_class):
+            d = root / c / f"{c}_{v:02d}"
+            d.mkdir(parents=True)
+            for t in range(frames):
+                (d / f"img_{t:05d}.t7").write_bytes(b"x")
+
+
+def test_dataset2split_ratio(tmp_path):
+    make_tree(tmp_path / "data", ["a", "b"])
+    split_main([str(tmp_path / "data"), str(tmp_path / "out"),
+                "--ratio", "0.75", "--seed", "1"])
+    for c in ("a", "b"):
+        tr = os.listdir(tmp_path / "out" / "train" / c)
+        va = os.listdir(tmp_path / "out" / "val" / c)
+        assert len(tr) == 3 and len(va) == 1
+        assert set(tr) | set(va) == {f"{c}_{v:02d}" for v in range(4)}
+
+
+def test_dataset2split_official_list(tmp_path):
+    make_tree(tmp_path / "data", ["a"])
+    (tmp_path / "train.txt").write_text("a_00\na_02\n")
+    split_main([str(tmp_path / "data"), str(tmp_path / "out"),
+                "--split_file", str(tmp_path / "train.txt")])
+    assert sorted(os.listdir(tmp_path / "out" / "train" / "a")) == \
+        ["a_00", "a_02"]
+    assert sorted(os.listdir(tmp_path / "out" / "val" / "a")) == \
+        ["a_01", "a_03"]
+
+
+def test_video_dataset2list(tmp_path):
+    make_tree(tmp_path / "data", ["jump", "run"], videos_per_class=2,
+              frames=5)
+    (tmp_path / "classes.txt").write_text("0 jump\n7 run\n")
+    out = tmp_path / "list.txt"
+    list_main([str(tmp_path / "data"), str(out),
+               "--class_list", str(tmp_path / "classes.txt")])
+    rows = [l.split() for l in out.read_text().strip().split("\n")]
+    assert len(rows) == 4
+    assert all(r[1] == "5" for r in rows)   # frame counts
+    labels = {r[0].split("/")[-2]: r[2] for r in rows}
+    assert labels == {"jump": "0", "run": "7"}
+
+
+def test_list2da_filter_and_remap(tmp_path):
+    (tmp_path / "full_classes.txt").write_text(
+        "0 walk\n1 jump\n2 swim\n")
+    (tmp_path / "da_classes.txt").write_text("0 jump\n1 swim\n")
+    (tmp_path / "full_list.txt").write_text(
+        "vids/a.avi 30 0\nvids/b.avi 20 1\nvids/c.avi 25 2\n")
+    rows = list2da_convert(str(tmp_path / "full_list.txt"),
+                           str(tmp_path / "full_classes.txt"),
+                           str(tmp_path / "da_classes.txt"),
+                           feature_root="RGB-Feature")
+    # 'walk' dropped; jump->0, swim->1; paths rewritten
+    assert rows == [("RGB-Feature/b", 20, 0), ("RGB-Feature/c", 25, 1)]
+
+
+def test_class_weights_from_list(tmp_path):
+    lst = tmp_path / "list.txt"
+    lst.write_text("a 5 0\nb 5 0\nc 5 0\nd 5 1\n")
+    w = class_weights_from_list(str(lst), 2, enabled=True)
+    # inverse frequency: class 0 freq 0.75, class 1 freq 0.25
+    np.testing.assert_allclose(w, [1 / 0.75, 1 / 0.25], rtol=1e-6)
+    assert class_weights_from_list(str(lst), 2, enabled=False) is None
+
+
+def test_native_gather_multithreaded():
+    from ta3n_tpu.data.native_gather import native_available, native_gather
+    if not native_available():
+        import pytest
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(500, 32)).astype(np.float32)
+    offsets = np.arange(0, 501, 50, dtype=np.int64)  # 10 videos x 50
+    vids = rng.integers(0, 10, size=64)
+    frames = rng.integers(0, 50, size=(64, 5))
+    got = native_gather(feats, offsets, vids, frames, num_threads=4)
+    want = feats[offsets[vids][:, None] + frames]
+    np.testing.assert_array_equal(got, want)
