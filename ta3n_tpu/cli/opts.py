@@ -152,6 +152,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help='optimizer steps per dispatch (lax.scan); '
                              'amortizes dispatch latency; device_store '
                              'only')
+    parser.add_argument('--seed', type=int, default=1,
+                        help='global seed (the reference hardcodes 1, '
+                             'main.py:24-26)')
     return parser
 
 

@@ -71,7 +71,8 @@ def main(argv=None):
                       profile_dir=args.profile_dir,
                       num_devices=args.num_devices,
                       device_store=args.device_store,
-                      steps_per_call=args.steps_per_call)
+                      steps_per_call=args.steps_per_call,
+                      seed=args.seed)
 
     if args.resume:
         if os.path.isdir(args.resume):

@@ -367,7 +367,10 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                           state.step + 1), metrics
 
     if not gather_on_device:
-        return partial(jax.jit, donate_argnums=(0,))(_run)
+        jitted = partial(jax.jit, donate_argnums=(0,))(_run)
+        jitted.loss_fn = loss_fn
+        jitted.tx = tx
+        return jitted
 
     def _gather_run(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
                     mask_t, scalars, rng):
@@ -387,6 +390,52 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
 
     train_step_gather.raw = _gather_run
     return train_step_gather
+
+
+def make_grad_accum_step(model: VideoModel, da: DAConfig,
+                         train_cfg: TrainConfig,
+                         class_weights: Optional[jnp.ndarray] = None,
+                         domain_weights: Optional[jnp.ndarray] = None,
+                         accum_steps: int = 2):
+    """Gradient accumulation: G micro-batch pairs -> averaged gradients ->
+    ONE clipped/weight-decayed momentum update (larger effective batches
+    without larger per-forward memory; capability absent in the reference).
+
+    Signature: step(state, xs [G,B,S,D], ys [G,B], mask_s [G,B],
+                    xt, yt, mask_t, scalars, rng) -> (state, metrics [G])
+    """
+    base = make_train_step(model, da, train_cfg, class_weights,
+                           domain_weights)
+    loss_fn, tx = base.loss_fn, base.tx
+    del base
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def accum_step(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
+                   scalars: StepScalars, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, per):
+            stats, grads_acc, i = carry
+            x_s, y_s, m_s, x_t, y_t, m_t = per
+            (_, (new_stats, metrics)), grads = grad_fn(
+                state.params, stats, x_s, y_s, m_s, x_t, y_t, m_t,
+                scalars, jax.random.fold_in(rng, i))
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g / accum_steps, grads_acc, grads)
+            return (new_stats, grads_acc, i + 1), metrics
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, grads, _), metrics = jax.lax.scan(
+            body, (state.batch_stats, zeros, 0),
+            (xs, ys, mask_s, xt, yt, mask_t))
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = apply_updates_with_lr(state.params, updates,
+                                           scalars.lr)
+        return TrainState(new_params, new_stats, new_opt,
+                          state.step + 1), metrics
+
+    return accum_step
 
 
 def make_multi_train_step(model: VideoModel, da: DAConfig,
