@@ -133,10 +133,10 @@ def main(argv=None):
     start = time.time()
     count = 0
     for b in prefetch(loader.epoch()):
-        probs, top_p, top_i, attn = infer(b.features)
+        probs, top_p, top_i, attn = jax.device_get(infer(b.features))
         n_real = int(b.mask.sum())
-        all_scores.append(np.asarray(probs)[:n_real])
-        all_topk.append(np.asarray(top_i)[:n_real])
+        all_scores.append(probs[:n_real])
+        all_topk.append(top_i[:n_real])
         all_labels.append(np.asarray(b.labels)[:n_real])
         all_attn.append(np.asarray(attn)[:n_real].reshape(n_real, -1))
         count += n_real

@@ -81,10 +81,12 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((b - real,) + chunk.shape[1:],
                                      np.float32)])
-            p, tp, ti = self._predict(chunk)
-            probs.append(np.asarray(p)[:real])
-            tps.append(np.asarray(tp)[:real])
-            tis.append(np.asarray(ti)[:real])
+            # one host transfer for all three outputs (per-array reads are
+            # each a blocking device roundtrip)
+            p, tp, ti = jax.device_get(self._predict(chunk))
+            probs.append(p[:real])
+            tps.append(tp[:real])
+            tis.append(ti[:real])
         return (np.concatenate(probs), np.concatenate(tps),
                 np.concatenate(tis))
 

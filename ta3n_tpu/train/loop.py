@@ -460,14 +460,18 @@ class Trainer:
                 r = self.eval_step(self.state.params,
                                    self.state.batch_stats,
                                    b.features, b.labels, b.mask)
+            if not self.tb.active:
+                r.pop("feat", None)
+                r.pop("logits", None)
+            r = jax.device_get(r)  # one transfer per batch
             n = float(r["n"])
             meters["loss"].update(float(r["loss"]), n)
             meters["top1"].update(100.0 * float(r["top1"]) / max(n, 1), n)
             meters["top5"].update(100.0 * float(r["top5"]) / max(n, 1), n)
             if self.tb.active:
-                sel = b.mask > 0
+                sel = np.asarray(b.mask) > 0
                 feat_val.append(np.asarray(r["feat"])[sel])
-                label_val.append(b.labels[sel])
+                label_val.append(np.asarray(b.labels)[sel])
         line = (f"Testing Results: Prec@1 {meters['top1'].avg:.3f} "
                 f"Prec@5 {meters['top5'].avg:.3f} "
                 f"Loss {meters['loss'].avg:.5f}")
