@@ -67,6 +67,10 @@ def build_parser():
                         help='packed FeatureStore dir (default: dirname of '
                              'the test list)')
     parser.add_argument('--feature_dim', type=int, default=None)
+    parser.add_argument('--device_store', default=False,
+                        action='store_true',
+                        help='keep the feature store in HBM; gather on '
+                             'device (indices-only host traffic)')
     return parser
 
 
@@ -115,8 +119,7 @@ def main(argv=None):
 
     max_top = max(args.top)
 
-    @jax.jit
-    def infer(x):
+    def _infer(x):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -129,11 +132,29 @@ def main(argv=None):
         top_p, top_i = jax.lax.top_k(probs, max_top)
         return probs, top_p, top_i, out.attn
 
+    if args.device_store:
+        from ta3n_tpu.train.step import device_gather
+        store_dev = jax.device_put(np.ascontiguousarray(store.features))
+
+        @jax.jit
+        def infer_idx(idx, mask):
+            x = device_gather(store_dev, idx)
+            x = x * mask[:, None, None].astype(x.dtype)
+            return _infer(x)
+    else:
+        infer = jax.jit(_infer)
+
     all_scores, all_labels, all_topk, all_attn = [], [], [], []
     start = time.time()
     count = 0
-    for b in prefetch(loader.epoch()):
-        probs, top_p, top_i, attn = jax.device_get(infer(b.features))
+    batches = (loader.index_epoch() if args.device_store
+               else loader.epoch())
+    for b in prefetch(batches):
+        if args.device_store:
+            res = infer_idx(b.abs_indices, jnp.asarray(b.mask))
+        else:
+            res = infer(b.features)
+        probs, top_p, top_i, attn = jax.device_get(res)
         n_real = int(b.mask.sum())
         all_scores.append(probs[:n_real])
         all_topk.append(top_i[:n_real])

@@ -88,6 +88,34 @@ def test_eval_cli(workspace):
     assert os.path.isfile(str(exp) + "/confusion-top[1, 2].txt")
 
 
+def test_eval_cli_device_store(workspace):
+    from ta3n_tpu.cli.test_models import main
+    exp = workspace / "exp"
+    out = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(exp) + "/RGB/model_best",
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn",
+        "--bS", "4", "--top", "1", "2", "--device_store",
+    ])
+    assert "Pred@1" in out
+    # identical accuracies to the host path
+    host = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(exp) + "/RGB/model_best",
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn",
+        "--bS", "4", "--top", "1", "2",
+    ])
+    assert out == host
+
+
 def test_resume_from_checkpoint(workspace):
     from ta3n_tpu.cli.train import main
     exp = workspace / "exp"
