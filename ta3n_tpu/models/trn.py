@@ -72,8 +72,11 @@ class RelationModuleMultiScale(nn.Module):
             return False
         if self.use_pallas == "always":
             return True
-        # MXU-aligned dims on a real TPU backend
+        # MXU-aligned dims on a real TPU backend; float32 only — the bf16
+        # backward kernel trips a Mosaic compile bug on this toolchain, and
+        # bf16 XLA matmuls are already MXU-native
         return (jax.default_backend() == "tpu"
+                and jnp.dtype(self.dtype) == jnp.float32
                 and self.img_feature_dim % 128 == 0
                 and self.num_bottleneck % 128 == 0)
 
