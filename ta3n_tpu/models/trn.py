@@ -72,11 +72,9 @@ class RelationModuleMultiScale(nn.Module):
             return False
         if self.use_pallas == "always":
             return True
-        # MXU-aligned dims on a real TPU backend; float32 only — the bf16
-        # backward kernel trips a Mosaic compile bug on this toolchain, and
-        # bf16 XLA matmuls are already MXU-native
+        # MXU-aligned dims on a real TPU backend (f32 and bf16; the kernels
+        # compare in f32 — the VPU has no sub-f32 comparisons)
         return (jax.default_backend() == "tpu"
-                and jnp.dtype(self.dtype) == jnp.float32
                 and self.img_feature_dim % 128 == 0
                 and self.num_bottleneck % 128 == 0)
 

@@ -153,8 +153,10 @@ def _bwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
 
     first_tile = pl.program_id(0) == 0
 
-    xr = jnp.maximum(x_ref[:, :], 0.0)          # relu(x)
-    relu_mask = (x_ref[:, :] > 0).astype(jnp.float32)
+    # compare in f32: the VPU has no sub-f32 comparison ops
+    xf32 = x_ref[:, :].astype(jnp.float32)
+    xr = jnp.maximum(xf32, 0.0).astype(x_ref.dtype)  # relu(x)
+    relu_mask = (xf32 > 0).astype(jnp.float32)
     num_frames = plan.num_frames
     tb = x_ref.shape[0]
     # per-frame accumulators (static python list — no scatter ops)
@@ -173,7 +175,8 @@ def _bwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
                              w[p * d:(p + 1) * d, :],
                              preferred_element_type=jnp.float32)
                 z = zi if z is None else z + zi
-            m = jnp.where(z + bias[None, :] > 0, gs, 0.0)   # [TB, H]
+            m = jnp.where(z + bias[None, :].astype(jnp.float32) > 0,
+                          gs, 0.0)   # [TB, H]
             db_acc = db_acc + jnp.sum(m, axis=0, keepdims=True)
             parts = []
             for p, frame in enumerate(subset):
