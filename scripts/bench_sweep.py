@@ -1,6 +1,11 @@
 """Throughput sweep: dtype x batch x variant, on the default backend.
 
-Usage: python scripts/bench_sweep.py
+WARNING: this scratch sweep times with block_until_ready, which on the
+tunneled axon runtime returns at enqueue-ack — numbers here are DISPATCH
+rates, not sustained compute.  For honest methodology (value forcing +
+roundtrip subtraction) see bench.py and BENCH_NOTES.md.
+
+Usage: PYTHONPATH=.:/root/.axon_site python scripts/bench_sweep.py
 """
 
 import time
