@@ -72,7 +72,8 @@ def main(argv=None):
                       num_devices=args.num_devices,
                       device_store=args.device_store,
                       steps_per_call=args.steps_per_call,
-                      seed=args.seed)
+                      seed=args.seed,
+                      prefetch_depth=max(1, args.workers))
 
     if args.resume:
         if os.path.isdir(args.resume):

@@ -163,7 +163,12 @@ def device_prefetch(iterator: Iterator, sharding=None,
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
-    """Background-thread prefetch (replaces torch worker processes)."""
+    """Background-thread prefetch (replaces torch worker processes).
+
+    The producer thread starts EAGERLY (at call time, not first next()),
+    so the first batches are already being gathered while the caller
+    compiles/sets up.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
 
@@ -176,8 +181,12 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        yield item
+
+    def consume():
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+    return consume()

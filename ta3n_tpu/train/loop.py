@@ -97,7 +97,8 @@ class Trainer:
                  profile_dir: Optional[str] = None,
                  num_devices: Optional[int] = None,
                  device_store: bool = False,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1,
+                 prefetch_depth: int = 2):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -110,6 +111,7 @@ class Trainer:
         self.save_attention = save_attention
         self.logs = log_files
         self.profile_dir = profile_dir
+        self.prefetch_depth = max(1, prefetch_depth)
         from ta3n_tpu.io_utils.tensorboard import EmbeddingWriter
         self.tb = EmbeddingWriter(tensorboard_dir)
         self._need_aux = save_attention >= 0 or self.tb.active
@@ -228,7 +230,8 @@ class Trainer:
         def stream(loader):
             it = (loader.index_epoch() if self.device_store
                   else loader.epoch())
-            return device_prefetch(prefetch(it), self.batch_sharding)
+            return device_prefetch(prefetch(it, self.prefetch_depth),
+                                   self.batch_sharding)
 
         # thread prefetch (host gather) + device prefetch (async H2D)
         pairs = zip(stream(self.source_loader), stream(self.target_loader))
