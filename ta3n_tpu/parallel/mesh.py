@@ -45,18 +45,24 @@ def pad_to_multiple(batch_size: int, n_devices: int) -> int:
 
 
 def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
-    """Constrain a built train step's data arguments onto the mesh.
+    """Re-jit a built (host-feed) train step with explicit in_shardings:
+    state/scalars/rng replicated, xs/ys/mask_s/xt/yt/mask_t batch-sharded.
 
-    state/scalars/rng replicated; xs/ys/mask_s/xt/yt/mask_t batch-sharded.
+    Sharding is part of the compiled program (no per-call device_put on
+    the host; donation still applies).  Uncommitted/numpy inputs are
+    placed by the jit itself; arrays already committed elsewhere are
+    rejected rather than silently left unsharded.  Prefer passing
+    ``mesh=`` to ``make_train_step`` directly; this wrapper exists for
+    steps built without one.
     """
+    raw = getattr(train_step, "raw", None)
+    if raw is None:
+        raise ValueError("train_step has no .raw underlying function; "
+                         "build it with make_train_step(..., mesh=mesh) "
+                         "instead")
     data = batch_sharding(mesh, axis_name)
     rep = replicated_sharding(mesh)
-
-    def wrapped(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng):
-        xs, ys, mask_s, xt, yt, mask_t = (
-            jax.device_put(a, data) for a in (xs, ys, mask_s, xt, yt, mask_t))
-        state = jax.device_put(state, rep)
-        return train_step(state, xs, ys, mask_s, xt, yt, mask_t, scalars,
-                          rng)
-
-    return wrapped
+    return jax.jit(raw, donate_argnums=(0,),
+                   in_shardings=(rep, data, data, data, data, data, data,
+                                 rep, rep),
+                   out_shardings=(rep, rep))

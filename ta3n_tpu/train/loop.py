@@ -21,7 +21,7 @@ from ta3n_tpu.data import (FeatureStore, TSNLoader, epoch_balance_counts,
 from ta3n_tpu.io_utils import AverageMeter, LogFiles, save_checkpoint
 from ta3n_tpu.io_utils.checkpoint import load_checkpoint
 from ta3n_tpu.models import VideoModel
-from ta3n_tpu.parallel import make_mesh, shard_train_step
+from ta3n_tpu.parallel import make_mesh
 from ta3n_tpu.train.schedules import (alpha_schedule, dann_lr,
                                       effective_beta, loss_plateau_lr,
                                       progress)
@@ -131,42 +131,46 @@ class Trainer:
         self.steps_per_call = steps_per_call if (
             device_store and not self._need_aux
             and not da_cfg.pretrain_source) else 1
-        self.multi_step = None
-        if self.steps_per_call > 1:
-            from ta3n_tpu.train.step import make_multi_train_step
-            self.multi_step = make_multi_train_step(
-                self.model, da_cfg, train_cfg, cw, dw)
-        self.train_step = make_train_step(self.model, da_cfg, train_cfg,
-                                          cw, dw,
-                                          return_aux=self._need_aux,
-                                          gather_on_device=device_store)
-        self.pretrain_step = (
-            make_train_step(self.model, da_cfg, train_cfg, cw, dw,
-                            pretrain_classification_only=True,
-                            gather_on_device=device_store)
-            if da_cfg.pretrain_source else None)
-        self.eval_step = make_eval_step(self.model, cw,
-                                        gather_on_device=device_store)
+
         devices = jax.devices()
         if num_devices is not None:
             devices = devices[:num_devices]
+        self.mesh = None
         self.batch_sharding = None
         store_sharding = None
         if use_mesh and len(devices) > 1:
             from ta3n_tpu.parallel import (batch_sharding, pad_to_multiple,
                                            replicated_sharding)
-            mesh = make_mesh(devices)
+            self.mesh = make_mesh(devices)
             n_dev = len(devices)
-            self.batch_sharding = batch_sharding(mesh)
-            store_sharding = replicated_sharding(mesh)
+            self.batch_sharding = batch_sharding(self.mesh)
+            store_sharding = replicated_sharding(self.mesh)
             # device-count divisibility via masked padding (the static
             # analogue of main.py:366-372)
-            source_loader.pad_to = pad_to_multiple(
-                source_loader.batch_size, n_dev)
-            target_loader.pad_to = pad_to_multiple(
-                target_loader.batch_size, n_dev)
-            if not device_store:
-                self.train_step = shard_train_step(self.train_step, mesh)
+            for loader in (source_loader, target_loader, val_loader):
+                loader.pad_to = pad_to_multiple(loader.batch_size, n_dev)
+
+        # every step is built mesh-aware (in_shardings compiled in):
+        # batch axes sharded, state/stores replicated — including the
+        # flagship device-store production mode (VERDICT r1 #2)
+        self.multi_step = None
+        if self.steps_per_call > 1:
+            from ta3n_tpu.train.step import make_multi_train_step
+            self.multi_step = make_multi_train_step(
+                self.model, da_cfg, train_cfg, cw, dw, mesh=self.mesh)
+        self.train_step = make_train_step(self.model, da_cfg, train_cfg,
+                                          cw, dw,
+                                          return_aux=self._need_aux,
+                                          gather_on_device=device_store,
+                                          mesh=self.mesh)
+        self.pretrain_step = (
+            make_train_step(self.model, da_cfg, train_cfg, cw, dw,
+                            pretrain_classification_only=True,
+                            gather_on_device=device_store, mesh=self.mesh)
+            if da_cfg.pretrain_source else None)
+        self.eval_step = make_eval_step(self.model, cw,
+                                        gather_on_device=device_store,
+                                        mesh=self.mesh)
         if device_store:
             # HBM-resident packed stores: uploaded ONCE; per-step host work
             # collapses to index arithmetic
@@ -230,6 +234,11 @@ class Trainer:
         def stream(loader):
             it = (loader.index_epoch() if self.device_store
                   else loader.epoch())
+            if self.multi_step is not None:
+                # multi-step mode stacks K host batches before dispatch;
+                # the stacked [K,B,..] arrays are placed by the jit's own
+                # in_shardings (batch axis 1), so no per-batch device_put
+                return prefetch(it, self.prefetch_depth)
             return device_prefetch(prefetch(it, self.prefetch_depth),
                                    self.batch_sharding)
 
@@ -256,7 +265,8 @@ class Trainer:
                     rows.append(item)
             for m in rows:
                 n = float(m["n"])
-                meters["loss"].update(float(m["loss"]))
+                # weighted by batch size like the reference (main.py:569)
+                meters["loss"].update(float(m["loss"]), n)
                 meters["loss_c"].update(float(m["loss_c"]), n)
                 for key in ("loss_d", "loss_a", "loss_e", "loss_s"):
                     if key in m:
@@ -385,7 +395,7 @@ class Trainer:
                 np.full(k, alpha, np.float32),
                 np.full(k, tc.gamma, np.float32),
                 np.asarray(lrs, np.float32))
-            stack = lambda xs: jnp.stack(xs)
+            stack = lambda xs: np.stack(xs)  # host stack; jit places/shards
             bs_list, bt_list = zip(*chunk)
             self.state, m = self.multi_step(
                 self.state,

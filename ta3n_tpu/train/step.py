@@ -34,6 +34,20 @@ __all__ = ["TrainState", "StepScalars", "create_train_state",
            "make_train_step", "make_eval_step", "topk_correct"]
 
 
+def _mesh_shardings(mesh, axis_name: str = "data"):
+    """(replicated, batch-sharded, K-stacked-batch-sharded) NamedShardings.
+
+    Used as jit in_shardings/out_shardings so data parallelism is part of
+    the compiled program (XLA inserts the gradient psum over ICI) with no
+    per-call host placement work — the TPU-native replacement for the
+    reference's torch.nn.DataParallel (main.py:79)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    kdata = NamedSharding(mesh, P(None, axis_name))
+    return rep, data, kdata
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any           # {} when the model has no BN
@@ -201,7 +215,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                     domain_weights: Optional[jnp.ndarray] = None,
                     pretrain_classification_only: bool = False,
                     return_aux: bool = False,
-                    gather_on_device: bool = False):
+                    gather_on_device: bool = False,
+                    mesh=None, axis_name: str = "data"):
     """Build the jitted train step for one configuration.
 
     Returned signature:
@@ -212,6 +227,11 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     feature store stays resident in HBM and the batch gather runs inside
     the jit — only ~KB of indices cross the host boundary per step
     (vs the reference's per-frame torch.load host pipeline).
+
+    With ``mesh`` the step is compiled with explicit in_shardings: batch
+    axes sharded over the mesh, state/stores/scalars/rng replicated —
+    data parallelism baked into the XLA program (gradient all-reduce over
+    ICI), zero per-step host placement.
     """
     cfg = model.cfg
     tx = make_optimizer(train_cfg.optimizer, train_cfg.momentum,
@@ -301,17 +321,35 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
             m_all = jnp.concatenate([ms_, mt_])
             # pred_domain_all[1]: the 2nd selected adversarial layer —
             # video-level under the published place_adv (main.py:560).
-            if len(selected_domain) > 1:
-                dom_logits, dom_m = selected_domain[1]
-            else:
-                dom_logits = jnp.concatenate(
-                    [out_s.pred_domain[1], out_t.pred_domain[1]], axis=0)
-                dom_m = jnp.concatenate([mask_s, mask_t])
-            # row counts must match the class logits rows
-            if dom_logits.shape[0] != pred_all.shape[0]:
-                dom_logits = jnp.concatenate(
-                    [out_s.pred_domain[1], out_t.pred_domain[1]], axis=0)
-                dom_m = jnp.concatenate([mask_s, mask_t])
+            #
+            # DOCUMENTED DIVERGENCE (fixed, not replicated — PARITY.md):
+            # for any other --place_adv the reference CRASHES at
+            # main.py:560 — IndexError when < 2 layers are selected
+            # (e.g. place_adv=N,N,Y), torch broadcast RuntimeError when
+            # the 2nd selection's row count mismatches the class rows
+            # (e.g. place_adv=Y,N,Y selects frame-level rows =
+            # (Bs+Bt)*segments vs Bs+Bt).  We instead pick, in order:
+            # the reference's pred_domain_all[1], then the video-level
+            # (layer 1), then the frame-level (layer 2) domain logits —
+            # first one whose row count matches the class logits rows.
+            # All trace-time (static-shape) decisions; tested in
+            # tests/test_attentive_entropy.py.
+            def _concat_dom(layer):
+                ps, pt = out_s.pred_domain[layer], out_t.pred_domain[layer]
+                ms2, mt2 = mask_s, mask_t
+                if ps.ndim == 3:  # frame-level: flatten to rows
+                    ms2 = jnp.repeat(ms2, ps.shape[1])
+                    mt2 = jnp.repeat(mt2, pt.shape[1])
+                    ps = ps.reshape(-1, ps.shape[-1])
+                    pt = pt.reshape(-1, pt.shape[-1])
+                return (jnp.concatenate([ps, pt], axis=0),
+                        jnp.concatenate([ms2, mt2]))
+
+            candidates = (list(selected_domain[1:2])
+                          + [_concat_dom(1), _concat_dom(2)])
+            dom_logits, dom_m = next(
+                (c for c in candidates
+                 if c[0].shape[0] == pred_all.shape[0]), candidates[-1])
             loss_e = attentive_entropy(pred_all, dom_logits,
                                        m_all * dom_m)
             metrics["loss_e"] = loss_e
@@ -367,9 +405,17 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                           state.step + 1), metrics
 
     if not gather_on_device:
-        jitted = partial(jax.jit, donate_argnums=(0,))(_run)
+        jit_kwargs = {}
+        if mesh is not None:
+            rep, data, _ = _mesh_shardings(mesh, axis_name)
+            jit_kwargs = dict(
+                in_shardings=(rep, data, data, data, data, data, data,
+                              rep, rep),
+                out_shardings=(rep, rep))
+        jitted = jax.jit(_run, donate_argnums=(0,), **jit_kwargs)
         jitted.loss_fn = loss_fn
         jitted.tx = tx
+        jitted.raw = _run
         return jitted
 
     def _gather_run(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
@@ -381,7 +427,17 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         xt = xt * mask_t[:, None, None].astype(xt.dtype)
         return _run(state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {}
+    if mesh is not None:
+        # stores replicated (each chip gathers its own B/n rows locally),
+        # index/label/mask batches sharded on the leading batch axis
+        rep, data, _ = _mesh_shardings(mesh, axis_name)
+        jit_kwargs = dict(
+            in_shardings=(rep, rep, data, data, data, rep, data, data,
+                          data, rep, rep),
+            out_shardings=(rep, rep))
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def train_step_gather(state: TrainState, store_s, idx_s, ys, mask_s,
                           store_t, idx_t, yt, mask_t,
                           scalars: StepScalars, rng):
@@ -441,7 +497,8 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
 def make_multi_train_step(model: VideoModel, da: DAConfig,
                           train_cfg: TrainConfig,
                           class_weights: Optional[jnp.ndarray] = None,
-                          domain_weights: Optional[jnp.ndarray] = None):
+                          domain_weights: Optional[jnp.ndarray] = None,
+                          mesh=None, axis_name: str = "data"):
     """K optimizer steps per dispatch: lax.scan over stacked index batches
     against HBM-resident stores.
 
@@ -451,11 +508,24 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
       multi_step(state, store_s, idx_s [K,B,T], ys [K,B], mask_s [K,B],
                  store_t, idx_t, yt, mask_t, scalars (each field stacked
                  [K,...]), rng) -> (state, metrics stacked [K])
+
+    With ``mesh`` the stacked batches are sharded on axis 1 (the batch
+    axis), stores/state replicated: the flagship device-store production
+    mode computes B/n per chip with gradient psum over ICI, exactly like
+    the single-step sharded path (replaces main.py:79 DataParallel).
     """
     step_fn = make_train_step(model, da, train_cfg, class_weights,
                               domain_weights, gather_on_device=True).raw
 
-    @partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {}
+    if mesh is not None:
+        rep, _, kdata = _mesh_shardings(mesh, axis_name)
+        jit_kwargs = dict(
+            in_shardings=(rep, rep, kdata, kdata, kdata, rep, kdata,
+                          kdata, kdata, rep, rep),
+            out_shardings=(rep, rep))
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def multi_step(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
                    mask_t, scalars: StepScalars, rng):
         def body(st, per_step):
@@ -472,11 +542,23 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
 
 def make_eval_step(model: VideoModel,
                    class_weights: Optional[jnp.ndarray] = None,
-                   gather_on_device: bool = False):
+                   gather_on_device: bool = False,
+                   mesh=None, axis_name: str = "data"):
     """Jitted validation step (reference validate(), main.py:669-761):
     the batch is fed as BOTH streams with beta=0; the target-side outputs
-    are consumed.  With gather_on_device, x is a (store, abs_idx) pair."""
+    are consumed.  With gather_on_device, x is a (store, abs_idx) pair.
+    With ``mesh``, the batch is sharded over the mesh (params replicated);
+    the batch size must then be a multiple of the mesh size (the Trainer
+    pads via pad_to_multiple + masks)."""
     cfg = model.cfg
+    jit_kwargs = {}
+    if mesh is not None:
+        rep, data, _ = _mesh_shardings(mesh, axis_name)
+        if gather_on_device:
+            in_sh = (rep, rep, rep, data, data, data)
+        else:
+            in_sh = (rep, rep, data, data, data)
+        jit_kwargs = dict(in_shardings=in_sh, out_shardings=rep)
 
     def _eval(params, batch_stats, x, y, mask):
         variables = {"params": params}
@@ -498,9 +580,9 @@ def make_eval_step(model: VideoModel,
         }
 
     if not gather_on_device:
-        return jax.jit(_eval)
+        return jax.jit(_eval, **jit_kwargs)
 
-    @jax.jit
+    @partial(jax.jit, **jit_kwargs)
     def eval_step_gather(params, batch_stats, store, idx, y, mask):
         x = device_gather(store, idx)
         x = x * mask[:, None, None].astype(x.dtype)

