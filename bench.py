@@ -20,8 +20,14 @@ v5e).  Prints ONE JSON line.
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).
 ``vs_baseline`` is against REFERENCE_V100_VPS, an estimate of the
-PyTorch-0.4 reference on a V100 (see BENCH_NOTES.md for the derivation;
-the driver's >=10x north star corresponds to vs_baseline >= 10).
+PyTorch-0.4 reference on a V100 (see BENCH_NOTES.md for the derivation).
+The estimate is anchored by a MEASUREMENT: the actual reference (torch
+CPU, scripts/measure_reference_baseline.py) runs at 427.6 videos/s on
+this host (0.472 s/step, 13-step avg), so 5000 v/s credits the V100
+11.7x over one CPU core — generous for a per-frame-torch.load-bound
+pipeline.  Same host, same config, our step does 853.6 v/s on CPU
+(2.0x software-only).  The driver's >=10x north star corresponds to
+vs_baseline >= 10.
 """
 
 from __future__ import annotations

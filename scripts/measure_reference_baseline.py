@@ -80,8 +80,39 @@ def patch_torch():
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
     torch.cuda.manual_seed_all = lambda *a, **k: None
-    torch.cuda.device_count = lambda: 0
+    # gpu_count=1 keeps main.py:367's replica-divisibility modulo sane
+    torch.cuda.device_count = lambda: 1
     torch.cuda.LongTensor = torch.LongTensor
+
+    class _PassthroughDP(torch.nn.Module):
+        """CPU stand-in for DataParallel (main.py:79): single 'replica'."""
+
+        def __init__(self, module, device_ids=None, **kwargs):
+            super().__init__()
+            self.module = module
+
+        def forward(self, *args, **kwargs):
+            return self.module(*args, **kwargs)
+
+    torch.nn.DataParallel = _PassthroughDP
+
+    # torch-0.4-era shim: models.py:14 uses `torch` leaked by
+    # `from torch.nn.init import *`; modern torch has __all__ there
+    import torch.nn.init as _init
+    if hasattr(_init, "__all__") and "torch" not in _init.__all__:
+        _init.__all__ = list(_init.__all__) + ["torch"]
+
+    # torch-0.4-era shim: main.py:820 calls .view(-1) on a
+    # non-contiguous tensor (legal then, RuntimeError now)
+    _orig_view = torch.Tensor.view
+
+    def _lenient_view(self, *shape):
+        try:
+            return _orig_view(self, *shape)
+        except RuntimeError:
+            return self.reshape(*shape)
+
+    torch.Tensor.view = _lenient_view
 
 
 def main():
@@ -116,7 +147,8 @@ def main():
         "main.py", class_file, "RGB", src_list, tgt_list, val_list,
         "--exp_path", os.path.join(ws, "exp") + "/",
         "--baseline_type", "video", "--frame_aggregation", "trn-m",
-        "--num_segments", str(SEG), "--add_fc", "1", "--fc_dim", "512",
+        "--num_segments", str(SEG), "--val_segments", str(SEG),
+        "--add_fc", "1", "--fc_dim", "512",
         "--arch", "resnet101", "--dropout_i", "0.5", "--dropout_v", "0.5",
         "--use_target", "uSv", "--adv_DA", "RevGrad",
         "--place_adv", "Y", "Y", "Y", "--use_attn", "TransAttn",
@@ -125,6 +157,7 @@ def main():
         "--lr", "0.03", "--lr_adaptive", "dann",
         "--optimizer", "SGD", "--epochs", str(args.epochs),
         "-b", str(BS), str(BT), str(BVAL), "-j", "0", "-pf", "1",
+        "-sf", "1",
     ]
     sys.path.insert(0, REFERENCE)
     os.chdir(ws)
@@ -142,10 +175,10 @@ def main():
         runpy.run_path(os.path.join(REFERENCE, "main.py"),
                        run_name="__main__")
 
-    # parse per-step batch_time values: "Time 1.234 (1.345)"
+    # parse per-step batch_time values from TRAIN lines only
     out = buf.getvalue()
     times = [float(m) for m in re.findall(
-        r"Time (\d+\.\d+) \(", out)]
+        r"Train:.*?Time (\d+\.\d+) \(", out)]
     if len(times) <= args.warmup_steps:
         raise SystemExit(f"too few measured steps: {len(times)}")
     measured = times[args.warmup_steps:]
