@@ -152,6 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='optimizer steps per dispatch (lax.scan); '
                              'amortizes dispatch latency; device_store '
                              'only')
+    parser.add_argument('--store_budget_rows', type=int, default=0,
+                        help='larger-than-HBM streaming: max feature-store '
+                             'rows resident per shard (device_store only; '
+                             '0 = fully resident). Peak device residency '
+                             'is 2 shards (current + prefetched)')
     parser.add_argument('--seed', type=int, default=1,
                         help='global seed (the reference hardcodes 1, '
                              'main.py:24-26)')

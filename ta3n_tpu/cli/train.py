@@ -72,6 +72,7 @@ def main(argv=None):
                       num_devices=args.num_devices,
                       device_store=args.device_store,
                       steps_per_call=args.steps_per_call,
+                      store_budget_rows=args.store_budget_rows or None,
                       seed=args.seed,
                       prefetch_depth=max(1, args.workers))
 

@@ -3,12 +3,15 @@ from ta3n_tpu.data.loader import Batch, TSNLoader, prefetch
 from ta3n_tpu.data.manifest import (VideoRecord, epoch_balance_counts,
                                     load_class_names, parse_list_file,
                                     repeat_to)
+from ta3n_tpu.data.streaming import ShardPlan, ShardStream
 
 __all__ = [
     "FeatureStore",
     "Batch",
     "TSNLoader",
     "prefetch",
+    "ShardPlan",
+    "ShardStream",
     "VideoRecord",
     "epoch_balance_counts",
     "load_class_names",

@@ -140,6 +140,53 @@ class TSNLoader:
             abs_idx[n_real:] = 0  # masked rows read row 0 harmlessly
             yield IndexBatch(abs_idx, labels, mask)
 
+    # ---- larger-than-HBM streaming (data/streaming.py) ----
+    def _shard_groups(self, plan):
+        """Record positions grouped by the shard their video lives in,
+        shuffled within each shard (shard-local shuffle window)."""
+        sid_of_record = plan.shard_of(self.video_idx)
+        groups = []
+        for sid in range(plan.num_shards):
+            g = np.nonzero(sid_of_record == sid)[0]
+            if self.shuffle:
+                g = self._rng.permutation(g)
+            groups.append(g)
+        return groups
+
+    def shard_epoch_len(self, plan) -> int:
+        """Batches per streamed epoch: per-shard tails are padded, so
+        this is >= len(self) by up to num_shards-1 batches."""
+        sid_of_record = plan.shard_of(self.video_idx)
+        counts = np.bincount(sid_of_record, minlength=plan.num_shards)
+        b = self.batch_size
+        return int(sum(-(-int(c) // b) for c in counts if c))
+
+    def shard_index_epoch(self, plan) -> Iterator[tuple]:
+        """(shard_id, IndexBatch) stream with shard-LOCAL row indices,
+        shards in ascending order (ShardStream prefetch contract).
+        Batches never span shards; shard tails are padded + masked."""
+        b = self.batch_size
+        p = max(self.pad_to, b)
+        for sid, g in enumerate(self._shard_groups(plan)):
+            row0 = int(plan.row_lo[sid])
+            for start in range(0, len(g), b):
+                sel = g[start:start + b]
+                n_real = sel.shape[0]
+                if n_real == 0:
+                    continue
+                if n_real < p:
+                    sel = np.concatenate(
+                        [sel, np.zeros(p - n_real, dtype=sel.dtype)])
+                vids = self.video_idx[sel]
+                frames = self._sample(self.num_frames[sel])
+                labels = self.labels[sel]
+                mask = np.zeros(p, dtype=np.float32)
+                mask[:n_real] = 1.0
+                abs_idx = (self.store.offsets[vids][:, None] + frames
+                           - row0).astype(np.int32)
+                abs_idx[n_real:] = 0  # masked rows read local row 0
+                yield sid, IndexBatch(abs_idx, labels, mask)
+
 
 def device_prefetch(iterator: Iterator, sharding=None,
                     depth: int = 1) -> Iterator:

@@ -98,7 +98,8 @@ class Trainer:
                  num_devices: Optional[int] = None,
                  device_store: bool = False,
                  steps_per_call: int = 1,
-                 prefetch_depth: int = 2):
+                 prefetch_depth: int = 2,
+                 store_budget_rows: Optional[int] = None):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -171,7 +172,22 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cw,
                                         gather_on_device=device_store,
                                         mesh=self.mesh)
-        if device_store:
+        self.streaming = False
+        if device_store and store_budget_rows:
+            # larger-than-HBM mode: shards of <= budget_rows streamed
+            # through a double buffer (data/streaming.py); the same
+            # jitted gather steps run against the resident shard
+            from ta3n_tpu.data.streaming import ShardPlan, ShardStream
+            self.streaming = True
+
+            def plan_stream(loader):
+                plan = ShardPlan(loader.store.offsets, store_budget_rows)
+                return plan, ShardStream(loader.store.features, plan,
+                                         store_sharding)
+            self._plan_s, self._stream_s = plan_stream(source_loader)
+            self._plan_t, self._stream_t = plan_stream(target_loader)
+            self._plan_v, self._stream_v = plan_stream(val_loader)
+        elif device_store:
             # HBM-resident packed stores: uploaded ONCE; per-step host work
             # collapses to index arithmetic
             def put_store(store):
@@ -223,7 +239,8 @@ class Trainer:
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "loss_c", "loss_d",
                    "loss_a", "loss_e", "loss_s", "top1", "top5")}
-        len_loader = len(self.source_loader)
+        len_loader = (self.source_loader.shard_epoch_len(self._plan_s)
+                      if self.streaming else len(self.source_loader))
         start_steps = epoch * len_loader
         total_steps = tc.epochs * len_loader
         alpha = alpha_schedule(tc.alpha, epoch, tc.epochs)
@@ -232,6 +249,14 @@ class Trainer:
         end = time.time()
 
         def stream(loader):
+            if self.streaming:
+                # (shard_id, IndexBatch) stream; shard buffers are device
+                # arrays managed by ShardStream, index batches are placed
+                # by the jit's in_shardings
+                plan = (self._plan_s if loader is self.source_loader
+                        else self._plan_t)
+                return prefetch(loader.shard_index_epoch(plan),
+                                self.prefetch_depth)
             it = (loader.index_epoch() if self.device_store
                   else loader.epoch())
             if self.multi_step is not None:
@@ -298,7 +323,13 @@ class Trainer:
                                   np.float32(alpha),
                                   np.float32(tc.gamma),
                                   np.float32(self.lr_current))
-            if self.device_store:
+            if self.streaming:
+                (sid_s, bs), (sid_t, bt) = bs, bt
+                args = (self._stream_s.get(sid_s), bs.abs_indices,
+                        bs.labels, bs.mask,
+                        self._stream_t.get(sid_t), bt.abs_indices,
+                        bt.labels, bt.mask)
+            elif self.device_store:
                 args = (self._dev_store_s, bs.abs_indices, bs.labels,
                         bs.mask, self._dev_store_t, bt.abs_indices,
                         bt.labels, bt.mask)
@@ -379,8 +410,10 @@ class Trainer:
         chunk = []
         i = 0
 
-        def run_chunk(chunk):
+        def run_chunk(chunk, store_s=None, store_t=None):
             nonlocal last_line, end, i
+            if store_s is None:
+                store_s, store_t = self._dev_store_s, self._dev_store_t
             k = len(chunk)
             betas, lrs = [], []
             for j in range(k):
@@ -399,10 +432,10 @@ class Trainer:
             bs_list, bt_list = zip(*chunk)
             self.state, m = self.multi_step(
                 self.state,
-                self._dev_store_s, stack([b.abs_indices for b in bs_list]),
+                store_s, stack([b.abs_indices for b in bs_list]),
                 stack([b.labels for b in bs_list]),
                 stack([b.mask for b in bs_list]),
-                self._dev_store_t, stack([b.abs_indices for b in bt_list]),
+                store_t, stack([b.abs_indices for b in bt_list]),
                 stack([b.labels for b in bt_list]),
                 stack([b.mask for b in bt_list]),
                 sc, self.rng)
@@ -419,13 +452,33 @@ class Trainer:
                     self.logs.write("train.log", last_line)
                 print(last_line)
 
-        for bs, bt in pairs:
-            chunk.append((bs, bt))
-            if len(chunk) == K:
+        if self.streaming:
+            # chunks may not span shard switches (one resident store per
+            # compiled scan); ShardStream double-buffers across switches
+            cur_key = None
+            for (sid_s, bs), (sid_t, bt) in pairs:
+                key = (sid_s, sid_t)
+                if chunk and key != cur_key:
+                    run_chunk(chunk, self._stream_s.get(cur_key[0]),
+                              self._stream_t.get(cur_key[1]))
+                    chunk = []
+                cur_key = key
+                chunk.append((bs, bt))
+                if len(chunk) == K:
+                    run_chunk(chunk, self._stream_s.get(sid_s),
+                              self._stream_t.get(sid_t))
+                    chunk = []
+            if chunk:
+                run_chunk(chunk, self._stream_s.get(cur_key[0]),
+                          self._stream_t.get(cur_key[1]))
+        else:
+            for bs, bt in pairs:
+                chunk.append((bs, bt))
+                if len(chunk) == K:
+                    run_chunk(chunk)
+                    chunk = []
+            if chunk:
                 run_chunk(chunk)
-                chunk = []
-        if chunk:
-            run_chunk(chunk)
         flush()
         if self.logs and last_line:
             self.logs.write("train_short.log", last_line)
@@ -461,13 +514,22 @@ class Trainer:
     def validate(self, epoch: int) -> float:
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
         feat_val, label_val = [], []
-        val_iter = (self.val_loader.index_epoch() if self.device_store
-                    else self.val_loader.epoch())
+        if self.streaming:
+            val_iter = self.val_loader.shard_index_epoch(self._plan_v)
+        elif self.device_store:
+            val_iter = self.val_loader.index_epoch()
+        else:
+            val_iter = self.val_loader.epoch()
         for i, b in enumerate(prefetch(val_iter)):
             if self.device_store:
+                if self.streaming:
+                    sid, b = b
+                    store_v = self._stream_v.get(sid)
+                else:
+                    store_v = self._dev_store_v
                 r = self.eval_step(self.state.params,
                                    self.state.batch_stats,
-                                   self._dev_store_v, b.abs_indices,
+                                   store_v, b.abs_indices,
                                    b.labels, b.mask)
             else:
                 r = self.eval_step(self.state.params,
