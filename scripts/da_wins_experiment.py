@@ -1,0 +1,92 @@
+"""Tune/demonstrate the rotation-shift benchmark where adversarial DA
+measurably beats source-only training (VERDICT r1 #4).
+
+Runs the FULL pipeline (Trainer, published-style schedules) twice per
+seed — source-only vs full TA3N (trn-m + TransAttn + RevGrad YYY +
+attentive entropy) — on make_rotated_domain_pair and prints both target
+top-1 accuracies.  Usage:
+
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/da_wins_experiment.py --angle 45 --epochs 30 --seeds 0 1 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.data import TSNLoader
+from ta3n_tpu.data.synthetic import make_rotated_domain_pair
+from ta3n_tpu.train.loop import Trainer
+
+SEG, FDIM = 5, 16
+
+
+def run_one(seed: int, use_da: bool, args) -> float:
+    src, tgt, val = make_rotated_domain_pair(
+        num_source=args.videos, num_target=args.videos, num_val=args.videos,
+        num_class=args.num_class, feature_dim=FDIM, angle_deg=args.angle,
+        centroid_scale=args.centroid_scale, seed=seed)
+    cfg = ModelConfig(num_class=args.num_class, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=args.fc_dim,
+                      feature_dim=FDIM, use_attn="TransAttn",
+                      dropout_i=0.2, dropout_v=0.2)
+    if use_da:
+        da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                      add_loss_DA="attentive_entropy",
+                      place_adv=("Y", "Y", "Y"))
+    else:
+        da = DAConfig(use_target="none")
+    tc = TrainConfig(lr=args.lr, epochs=args.epochs,
+                     batch_size=(16, 16, 16),
+                     beta=tuple(args.beta), gamma=args.gamma,
+                     lr_adaptive="dann" if args.dann_lr else "none")
+    ls = TSNLoader(src, batch_size=16, num_segments=SEG, mode="test",
+                   seed=seed + 1)
+    lt = TSNLoader(tgt, batch_size=16, num_segments=SEG, mode="test",
+                   seed=seed + 2)
+    lv = TSNLoader(val, batch_size=16, num_segments=SEG, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, use_mesh=args.mesh,
+                 eval_freq=max(args.epochs // 5, 1), print_freq=10 ** 9,
+                 show_freq=10 ** 9, seed=seed)
+    return tr.fit()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--angle", type=float, default=45.0)
+    ap.add_argument("--centroid_scale", type=float, default=2.0)
+    ap.add_argument("--videos", type=int, default=64)
+    ap.add_argument("--num_class", type=int, default=4)
+    ap.add_argument("--fc_dim", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=0.03)
+    ap.add_argument("--gamma", type=float, default=0.003)
+    ap.add_argument("--beta", type=float, nargs=3,
+                    default=[0.75, 0.75, 0.5])
+    ap.add_argument("--dann_lr", action="store_true")
+    ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    args = ap.parse_args()
+
+    rows = []
+    for seed in args.seeds:
+        src_only = run_one(seed, False, args)
+        full_da = run_one(seed, True, args)
+        rows.append({"seed": seed, "source_only": src_only,
+                     "full_ta3n": full_da, "gain": full_da - src_only})
+        print(json.dumps(rows[-1]))
+    gains = [r["gain"] for r in rows]
+    print(json.dumps({"min_gain": min(gains),
+                      "mean_gain": float(np.mean(gains)),
+                      "angle": args.angle, "epochs": args.epochs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,16 +6,18 @@
 
 #====== parameters ======#
 dataset=hmdb_ucf # hmdb_ucf | hmdb_ucf_small | ucf_olympic
-class_file="data/classInd_${dataset}.txt"
-training=true
-testing=false
+class_file=${TA3N_CLASS_FILE:-data/classInd_${dataset}.txt}
+training=${TA3N_TRAINING:-true}
+testing=${TA3N_TESTING:-false}
 modality=RGB
-num_segments=5
-test_segments=5
+num_segments=${TA3N_SEGMENTS:-5}
+test_segments=${TA3N_SEGMENTS:-5}
 baseline_type=video
 frame_aggregation=trn-m # avgpool | trn | trn-m | rnn | temconv
 add_fc=1
-fc_dim=512
+fc_dim=${TA3N_FC_DIM:-512}
+feature_dim=${TA3N_FEATURE_DIM:-2048}
+epochs=${TA3N_EPOCHS:-30}
 arch=resnet101
 use_target=uSv # none | Sv | uSv
 share_params=Y
@@ -47,7 +49,7 @@ gamma=0.003     # U->H: 0.003 | H->U: 0.3
 ens_DA=none     # none | MCD
 mu=0
 
-bS=128
+bS=${TA3N_BS:-128}
 bS_2=$(python -c "print(int($bS * $(wc -l < "$train_target_list") / $(wc -l < "$train_source_list")))")
 lr=3e-2
 optimizer=SGD
@@ -72,7 +74,7 @@ if ($training); then
         --arch $arch --baseline_type $baseline_type \
         --frame_aggregation $frame_aggregation \
         --num_segments $num_segments --val_segments $val_segments \
-        --add_fc $add_fc --fc_dim $fc_dim --dropout_i 0.5 --dropout_v 0.5 \
+        --add_fc $add_fc --fc_dim $fc_dim --feature_dim $feature_dim --dropout_i 0.5 --dropout_v 0.5 \
         --use_target $use_target --share_params $share_params \
         --dis_DA $dis_DA --alpha $alpha --place_dis N Y N \
         --adv_DA $adv_DA --beta $beta_0 $beta_1 $beta_2 \
@@ -82,7 +84,7 @@ if ($training); then
         --use_attn $use_attn --n_attn $n_attn \
         --use_attn_frame $use_attn_frame \
         --gd 20 --lr $lr --lr_decay 10 --lr_adaptive dann \
-        --lr_steps 10 20 --epochs 30 --optimizer $optimizer \
+        --lr_steps 10 20 --epochs $epochs --optimizer $optimizer \
         --n_rnn 1 --rnn_cell LSTM --n_directions 1 --n_ts 5 \
         -b $bS $bS_2 $bS -ef 1 -pf 50 -sf 50 --copy_list N N \
         --device_store --save_model
@@ -99,7 +101,7 @@ if ($testing); then
         --use_attn $use_attn --n_attn $n_attn \
         --use_attn_frame $use_attn_frame --use_bn $use_bn \
         --share_params $share_params \
-        --bS 512 --top 1 3 5 --add_fc 1 --fc_dim $fc_dim \
+        --bS 512 --top 1 3 5 --add_fc 1 --fc_dim $fc_dim --feature_dim $feature_dim \
         --baseline_type $baseline_type \
         --frame_aggregation $frame_aggregation
 fi

@@ -117,7 +117,9 @@ def main(argv=None):
                        new_length=model_cfg.sample_new_length, mode="test",
                        shuffle=False)
 
-    max_top = max(args.top)
+    # clamp k to the class count (e.g. --top 1 3 5 on a 3-class dataset),
+    # like train-side topk_correct; the reference would crash here
+    max_top = min(max(args.top), num_class)
 
     def _infer(x):
         variables = {"params": params}

@@ -14,7 +14,8 @@ import numpy as np
 
 from ta3n_tpu.data.feature_store import FeatureStore
 
-__all__ = ["make_synthetic_store", "make_domain_pair"]
+__all__ = ["make_synthetic_store", "make_domain_pair",
+           "make_rotated_domain_pair"]
 
 
 def make_synthetic_store(num_videos: int, num_class: int, feature_dim: int,
@@ -38,6 +39,67 @@ def make_synthetic_store(num_videos: int, num_class: int, feature_dim: int,
         paths.append(f"{prefix}_{i:05d}")
         labels.append(label)
     return FeatureStore.from_arrays(feats, paths, labels)
+
+
+def _rotation_matrix(dim: int, angle_deg: float, seed: int) -> np.ndarray:
+    """Orthogonal rotation by angle_deg in dim//2 random planes: Givens
+    blocks conjugated by a random orthogonal basis (QR of a Gaussian)."""
+    theta = np.deg2rad(angle_deg)
+    g = np.eye(dim)
+    c, s = np.cos(theta), np.sin(theta)
+    for i in range(0, dim - 1, 2):
+        g[i, i], g[i, i + 1] = c, -s
+        g[i + 1, i], g[i + 1, i + 1] = s, c
+    q, _ = np.linalg.qr(np.random.default_rng(seed).normal(
+        size=(dim, dim)))
+    return (q @ g @ q.T).astype(np.float64)
+
+
+def make_rotated_domain_pair(num_source: int = 64, num_target: int = 64,
+                             num_val: int = 64, num_class: int = 4,
+                             feature_dim: int = 16,
+                             angle_deg: float = 45.0,
+                             centroid_scale: float = 2.0,
+                             min_frames: int = 8, max_frames: int = 24,
+                             seed: int = 0
+                             ) -> Tuple[FeatureStore, FeatureStore,
+                                        FeatureStore]:
+    """Covariate shift where source-only training provably fails: the
+    TARGET domain is the source generative process rotated by
+    ``angle_deg`` in feature_dim//2 random orthogonal planes.  Unlike
+    the translation shift of make_domain_pair (which a video-level
+    classifier shrugs off — ROADMAP r1 note), a rotation moves every
+    class centroid relative to the others, so source decision boundaries
+    misclassify target videos; a moderate angle keeps each rotated
+    centroid closest to its own original, so adversarial alignment
+    (DANN/TA3N) can recover the correct correspondence.  This is the
+    in-environment stand-in for the reference's published DA gains
+    (BASELINE.md accuracy tables; /root/reference/main.py:437-562)."""
+    cen_rng = np.random.default_rng(9999 + seed)
+    centroids = cen_rng.normal(0.0, 1.0, size=(num_class, feature_dim))
+    centroids *= centroid_scale / np.linalg.norm(
+        centroids, axis=1, keepdims=True).mean()
+    rot = _rotation_matrix(feature_dim, angle_deg, seed=777)
+
+    def build(n, rotate, sd, prefix):
+        rng = np.random.default_rng(sd)
+        feats, paths, labels = [], [], []
+        for i in range(n):
+            label = i % num_class  # balanced classes
+            nf = int(rng.integers(min_frames, max_frames + 1))
+            f = centroids[label][None, :] + rng.normal(
+                0.0, 1.0, size=(nf, feature_dim))
+            if rotate:
+                f = f @ rot.T
+            feats.append(f.astype(np.float32))
+            paths.append(f"{prefix}_{i:05d}")
+            labels.append(label)
+        return FeatureStore.from_arrays(feats, paths, labels)
+
+    src = build(num_source, False, seed + 11, "src")
+    tgt = build(num_target, True, seed + 22, "tgt")
+    val = build(num_val, True, seed + 33, "val")
+    return src, tgt, val
 
 
 def make_domain_pair(num_source: int = 64, num_target: int = 48,

@@ -135,3 +135,43 @@ def test_resume_from_checkpoint(workspace):
         "--save_best_log", str(exp) + "/best.log",
     ])
     assert best >= 0.0
+
+
+def test_train_val_script_both_branches(workspace, tmp_path):
+    """scripts/train_val.sh end-to-end: training branch -> checkpoint,
+    then testing branch -> eval artifacts via cli.test_models (the
+    reference script's testing path, script_train_val.sh:166-172)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    for name, dst in [("src", "source"), ("tgt", "target"), ("val", "val")]:
+        os.symlink(workspace / name, data_root / dst)
+    env = dict(os.environ,
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""),
+               TA3N_DATA_ROOT=str(data_root),
+               TA3N_EXP_ROOT=str(tmp_path / "exp"),
+               TA3N_CLASS_FILE=str(workspace / "class.txt"),
+               TA3N_TRAINING="true", TA3N_TESTING="true",
+               TA3N_SEGMENTS="3", TA3N_FC_DIM="16",
+               TA3N_FEATURE_DIM="16", TA3N_EPOCHS="1", TA3N_BS="8")
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "train_val.sh")],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "Testing Results" in proc.stdout          # training-branch val
+    assert "Pred@1" in proc.stdout                   # testing-branch eval
+    # artifacts from the testing branch
+    import glob
+    exp_dirs = glob.glob(str(tmp_path / "exp") + "-DA-*/**/RGB",
+                         recursive=True)
+    assert exp_dirs, proc.stdout[-2000:]
+    rgb = exp_dirs[0]
+    assert glob.glob(rgb + "/scores_*.npz")
+    assert glob.glob(rgb + "/confusion_*.png")
+    scores = np.load(glob.glob(rgb + "/scores_*.npz")[0])
+    probs = scores[scores.files[0]]
+    assert probs.ndim == 2 and probs.shape[0] > 0
