@@ -179,3 +179,27 @@ def test_device_store_multi_step_sharded_matches_single_device():
                     jax.tree_util.tree_leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_eval_step_sharded_matches_single_device():
+    from ta3n_tpu.train import make_eval_step
+
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.0, dropout_v=0.0)
+    tc = TrainConfig(lr=0.1, batch_size=(16, 16, 16))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, 16, 16, tc)
+    gen = np.random.default_rng(0)
+    x, y, m = _batch(gen, 16, 13, 4)
+
+    ev1 = make_eval_step(model)
+    r1 = jax.device_get(ev1(state.params, state.batch_stats, x, y, m))
+    ev8 = make_eval_step(model, mesh=make_mesh())
+    r8 = jax.device_get(ev8(state.params, state.batch_stats, x, y, m))
+    for k in ("loss", "top1", "top5", "n"):
+        np.testing.assert_allclose(r1[k], r8[k], rtol=1e-4)
+    np.testing.assert_allclose(r1["logits"], r8["logits"], rtol=1e-4,
+                               atol=1e-5)
