@@ -30,12 +30,13 @@ def run_one(seed: int, use_da: bool, args) -> float:
     src, tgt, val = make_rotated_domain_pair(
         num_source=args.videos, num_target=args.videos, num_val=args.videos,
         num_class=args.num_class, feature_dim=FDIM, angle_deg=args.angle,
-        centroid_scale=args.centroid_scale, seed=seed)
+        centroid_scale=args.centroid_scale, seed=seed,
+        task_seed=0 if args.fix_task else seed)
     cfg = ModelConfig(num_class=args.num_class, baseline_type="video",
                       frame_aggregation="trn-m", train_segments=SEG,
                       val_segments=SEG, fc_dim=args.fc_dim,
                       feature_dim=FDIM, use_attn="TransAttn",
-                      dropout_i=0.2, dropout_v=0.2)
+                      dropout_i=args.dropout, dropout_v=args.dropout)
     if use_da:
         da = DAConfig(use_target="uSv", adv_DA="RevGrad",
                       add_loss_DA="attentive_entropy",
@@ -68,6 +69,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=0.03)
     ap.add_argument("--gamma", type=float, default=0.003)
+    ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--fix_task", action="store_true",
+                    help="same task geometry for every seed")
     ap.add_argument("--beta", type=float, nargs=3,
                     default=[0.75, 0.75, 0.5])
     ap.add_argument("--dann_lr", action="store_true")

@@ -61,7 +61,7 @@ def make_rotated_domain_pair(num_source: int = 64, num_target: int = 64,
                              angle_deg: float = 45.0,
                              centroid_scale: float = 2.0,
                              min_frames: int = 8, max_frames: int = 24,
-                             seed: int = 0
+                             seed: int = 0, task_seed: int = 0
                              ) -> Tuple[FeatureStore, FeatureStore,
                                         FeatureStore]:
     """Covariate shift where source-only training provably fails: the
@@ -74,12 +74,16 @@ def make_rotated_domain_pair(num_source: int = 64, num_target: int = 64,
     centroid closest to its own original, so adversarial alignment
     (DANN/TA3N) can recover the correct correspondence.  This is the
     in-environment stand-in for the reference's published DA gains
-    (BASELINE.md accuracy tables; /root/reference/main.py:437-562)."""
-    cen_rng = np.random.default_rng(9999 + seed)
+    (BASELINE.md accuracy tables; /root/reference/main.py:437-562).
+
+    ``task_seed`` fixes the task GEOMETRY (centroids + rotation plane);
+    ``seed`` varies only the sampled videos/noise — so multi-seed runs
+    measure training variance on one fixed benchmark task."""
+    cen_rng = np.random.default_rng(9999 + task_seed)
     centroids = cen_rng.normal(0.0, 1.0, size=(num_class, feature_dim))
     centroids *= centroid_scale / np.linalg.norm(
         centroids, axis=1, keepdims=True).mean()
-    rot = _rotation_matrix(feature_dim, angle_deg, seed=777)
+    rot = _rotation_matrix(feature_dim, angle_deg, seed=777 + task_seed)
 
     def build(n, rotate, sd, prefix):
         rng = np.random.default_rng(sd)
