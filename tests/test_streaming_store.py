@@ -183,3 +183,13 @@ def test_trainer_streaming_multi_step_end_to_end(tmp_path):
     assert tr.streaming and tr.multi_step is not None
     best = tr.fit()
     assert best >= 0.0
+
+
+def test_shard_array_flow_store():
+    """Flow stores are [rows, 2, D]; shard padding keeps trailing dims."""
+    offsets = np.array([0, 3, 7], dtype=np.int64)
+    feats = np.arange(7 * 2 * 3, dtype=np.float32).reshape(7, 2, 3)
+    plan = ShardPlan(offsets, budget_rows=4)
+    a1 = plan.shard_array(feats, 1)
+    assert a1.shape == (4, 2, 3)
+    np.testing.assert_array_equal(a1[:4], feats[3:7])
