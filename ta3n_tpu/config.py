@@ -157,6 +157,12 @@ class TrainConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     clip_gradient: Optional[float] = 20.0
+    # run clip/wd/momentum/lr on ONE raveled vector (optim.FlatOptimizer).
+    # Math-identical (tests/test_flat_optimizer.py) but MEASURED 8x SLOWER
+    # on the TPU at the flagship config (65.6k vs 554k videos/s): the
+    # per-scan-iteration ravel/unravel copies of the whole parameter set
+    # cost far more than the ~200 saved op dispatches.  Kept off.
+    fused_optimizer: bool = False
     epochs: int = 100
     batch_size: Tuple[int, int, int] = (32, 28, 64)   # [source, target, val]
     copy_list: Tuple[str, ...] = ("N", "Y")

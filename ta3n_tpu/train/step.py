@@ -28,7 +28,8 @@ from ta3n_tpu.losses import (CORAL, JAN, attentive_entropy,
                              cross_entropy_soft, dis_MCD, mmd_rbf,
                              weighted_cross_entropy)
 from ta3n_tpu.models import VideoModel
-from ta3n_tpu.train.optim import apply_updates_with_lr, make_optimizer
+from ta3n_tpu.train.optim import (apply_updates_with_lr,
+                                  make_flat_optimizer, make_optimizer)
 
 __all__ = ["TrainState", "StepScalars", "create_train_state",
            "make_train_step", "make_eval_step", "topk_correct"]
@@ -64,6 +65,16 @@ class StepScalars(NamedTuple):
     lr: jax.Array
 
 
+def _build_tx(train_cfg: TrainConfig):
+    """Chained optax (per-leaf) or the op-count-fused flat variant
+    (optim.FlatOptimizer) per train_cfg.fused_optimizer."""
+    maker = (make_flat_optimizer
+             if getattr(train_cfg, "fused_optimizer", False)
+             else make_optimizer)
+    return maker(train_cfg.optimizer, train_cfg.momentum,
+                 train_cfg.weight_decay, train_cfg.clip_gradient)
+
+
 def create_train_state(model: VideoModel, rng: jax.Array,
                        batch_source: int, batch_target: int,
                        train_cfg: TrainConfig) -> TrainState:
@@ -74,8 +85,7 @@ def create_train_state(model: VideoModel, rng: jax.Array,
                            jnp.zeros(3), jnp.asarray(0.0), True, False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(train_cfg.optimizer, train_cfg.momentum,
-                        train_cfg.weight_decay, train_cfg.clip_gradient)
+    tx = _build_tx(train_cfg)
     opt_state = tx.init(params)
     return TrainState(params, batch_stats, opt_state,
                       jnp.asarray(0, jnp.int32))
@@ -234,8 +244,7 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     ICI), zero per-step host placement.
     """
     cfg = model.cfg
-    tx = make_optimizer(train_cfg.optimizer, train_cfg.momentum,
-                        train_cfg.weight_decay, train_cfg.clip_gradient)
+    tx = _build_tx(train_cfg)
     use_bn = cfg.use_bn != "none"
     use_tgt = da.use_target != "none"
     mcd = da.ens_DA == "MCD" and use_tgt
@@ -399,8 +408,14 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,
             scalars, rng)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = apply_updates_with_lr(state.params, updates, scalars.lr)
+        if hasattr(tx, "update_and_apply"):  # flat path: fused lr apply
+            new_params, new_opt = tx.update_and_apply(
+                grads, state.opt_state, state.params, scalars.lr)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = apply_updates_with_lr(state.params, updates,
+                                               scalars.lr)
         return TrainState(new_params, new_stats, new_opt,
                           state.step + 1), metrics
 
@@ -485,9 +500,14 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
         (new_stats, grads, _), metrics = jax.lax.scan(
             body, (state.batch_stats, zeros, 0),
             (xs, ys, mask_s, xt, yt, mask_t))
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = apply_updates_with_lr(state.params, updates,
-                                           scalars.lr)
+        if hasattr(tx, "update_and_apply"):
+            new_params, new_opt = tx.update_and_apply(
+                grads, state.opt_state, state.params, scalars.lr)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = apply_updates_with_lr(state.params, updates,
+                                               scalars.lr)
         return TrainState(new_params, new_stats, new_opt,
                           state.step + 1), metrics
 

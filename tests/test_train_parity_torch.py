@@ -143,7 +143,10 @@ def test_training_parity_with_torch(seed):
     tc = TrainConfig(lr=LR, batch_size=(B_S, B_T, B_S))
     model = VideoModel(cfg)
     params, _ = import_torch_state_dict(state)
-    tx = make_optimizer("SGD", 0.9, 1e-4, 20.0)
+    # the step's own optimizer builder (fused flat path by default —
+    # this test torch-verifies that path end to end)
+    from ta3n_tpu.train.step import _build_tx
+    tx = _build_tx(tc)
     st = TrainState(params, {}, tx.init(params), jnp.asarray(0, jnp.int32))
     step = make_train_step(model, da, tc)
     sc = StepScalars(np.asarray(BETA, np.float32), np.float32(0),
