@@ -71,6 +71,10 @@ def build_parser():
                         action='store_true',
                         help='keep the feature store in HBM; gather on '
                              'device (indices-only host traffic)')
+    parser.add_argument('--store_budget_rows', type=int, default=0,
+                        help='larger-than-HBM eval: stream the store in '
+                             'shards of <= this many rows (device_store '
+                             'only; 0 = fully resident)')
     return parser
 
 
@@ -134,26 +138,42 @@ def main(argv=None):
         top_p, top_i = jax.lax.top_k(probs, max_top)
         return probs, top_p, top_i, out.attn
 
+    streaming = bool(args.device_store and args.store_budget_rows)
     if args.device_store:
         from ta3n_tpu.train.step import device_gather
-        store_dev = jax.device_put(np.ascontiguousarray(store.features))
 
         @jax.jit
-        def infer_idx(idx, mask):
+        def infer_idx(store_dev, idx, mask):
             x = device_gather(store_dev, idx)
             x = x * mask[:, None, None].astype(x.dtype)
             return _infer(x)
+
+        if streaming:
+            from ta3n_tpu.data.streaming import ShardPlan, ShardStream
+            plan = ShardPlan(store.offsets, args.store_budget_rows)
+            stream = ShardStream(store.features, plan)
+        else:
+            store_dev = jax.device_put(
+                np.ascontiguousarray(store.features))
     else:
         infer = jax.jit(_infer)
 
     all_scores, all_labels, all_topk, all_attn = [], [], [], []
     start = time.time()
     count = 0
-    batches = (loader.index_epoch() if args.device_store
-               else loader.epoch())
+    if streaming:
+        batches = loader.shard_index_epoch(plan)
+    elif args.device_store:
+        batches = loader.index_epoch()
+    else:
+        batches = loader.epoch()
     for b in prefetch(batches):
-        if args.device_store:
-            res = infer_idx(b.abs_indices, jnp.asarray(b.mask))
+        if streaming:
+            sid, b = b
+            res = infer_idx(stream.get(sid), b.abs_indices,
+                            jnp.asarray(b.mask))
+        elif args.device_store:
+            res = infer_idx(store_dev, b.abs_indices, jnp.asarray(b.mask))
         else:
             res = infer(b.features)
         probs, top_p, top_i, attn = jax.device_get(res)

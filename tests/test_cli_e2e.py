@@ -175,3 +175,24 @@ def test_train_val_script_both_branches(workspace, tmp_path):
     scores = np.load(glob.glob(rgb + "/scores_*.npz")[0])
     probs = scores[scores.files[0]]
     assert probs.ndim == 2 and probs.shape[0] > 0
+
+
+def test_eval_cli_streaming_store(workspace):
+    """--store_budget_rows: shard-streamed eval == resident device-store
+    eval (same Pred@K line)."""
+    from ta3n_tpu.cli.test_models import main
+    exp = workspace / "exp"
+    base = [
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(exp) + "/RGB/model_best",
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn",
+        "--bS", "4", "--top", "1", "2", "--device_store",
+    ]
+    resident = main(base)
+    streamed = main(base + ["--store_budget_rows", "60"])
+    assert "Pred@1" in streamed
+    assert streamed == resident
