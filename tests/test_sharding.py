@@ -203,3 +203,41 @@ def test_eval_step_sharded_matches_single_device():
         np.testing.assert_allclose(r1[k], r8[k], rtol=1e-4)
     np.testing.assert_allclose(r1["logits"], r8["logits"], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_adabn_batch_stats_sharded_matches_single_device():
+    """BN under data parallelism is the classic pitfall (per-replica
+    moments vs global); with in_shardings XLA reduces moments over the
+    FULL logical batch, so sharded == single-device batch_stats."""
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="avgpool", use_attn="none",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.0, dropout_v=0.0,
+                      use_bn="AdaBN")
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(16, 16, 16))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    gen = np.random.default_rng(0)
+    xs, ys, ms = _batch(gen, 16, 13, 4)
+    xt, yt, mt = _batch(gen, 16, 11, 4)
+    sc = StepScalars(jnp.array([0.5, 0.5, 0.5]), jnp.asarray(0.0),
+                     jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.1))
+
+    st1 = create_train_state(model, rng, 16, 16, tc)
+    step1 = make_train_step(model, da, tc)
+    st1, _ = step1(st1, xs, ys, ms, xt, yt, mt, sc, rng)
+
+    st8 = create_train_state(model, rng, 16, 16, tc)
+    step8 = make_train_step(model, da, tc, mesh=make_mesh())
+    st8, _ = step8(st8, xs, ys, ms, xt, yt, mt, sc, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(st1.batch_stats),
+                    jax.tree_util.tree_leaves(st8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
