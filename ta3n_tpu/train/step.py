@@ -467,20 +467,30 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
                          train_cfg: TrainConfig,
                          class_weights: Optional[jnp.ndarray] = None,
                          domain_weights: Optional[jnp.ndarray] = None,
-                         accum_steps: int = 2):
+                         accum_steps: int = 2,
+                         mesh=None, axis_name: str = "data"):
     """Gradient accumulation: G micro-batch pairs -> averaged gradients ->
     ONE clipped/weight-decayed momentum update (larger effective batches
     without larger per-forward memory; capability absent in the reference).
 
     Signature: step(state, xs [G,B,S,D], ys [G,B], mask_s [G,B],
                     xt, yt, mask_t, scalars, rng) -> (state, metrics [G])
+    With ``mesh``, the stacked micro-batches are sharded on axis 1.
     """
     base = make_train_step(model, da, train_cfg, class_weights,
                            domain_weights)
     loss_fn, tx = base.loss_fn, base.tx
     del base
 
-    @partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {}
+    if mesh is not None:
+        rep, _, kdata = _mesh_shardings(mesh, axis_name)
+        jit_kwargs = dict(
+            in_shardings=(rep, kdata, kdata, kdata, kdata, kdata, kdata,
+                          rep, rep),
+            out_shardings=(rep, rep))
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def accum_step(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
                    scalars: StepScalars, rng):
         rng = jax.random.fold_in(rng, state.step)
