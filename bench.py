@@ -39,6 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# rbg: hardware RngBitGenerator instead of threefry for dropout masks —
+# the profiled threefry fusion was ~16 us/step of the 327 us step;
+# measured +10% end-to-end (608.4k vs 551.7k videos/s). Same flag the
+# train CLI exposes as --prng_impl (default rbg).
+jax.config.update("jax_default_prng_impl", "rbg")
+
 REFERENCE_V100_VPS = 5000.0
 
 BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12

@@ -160,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--seed', type=int, default=1,
                         help='global seed (the reference hardcodes 1, '
                              'main.py:24-26)')
+    parser.add_argument('--prng_impl', type=str, default='rbg',
+                        choices=['rbg', 'threefry2x32'],
+                        help='dropout RNG: rbg uses the hardware '
+                             'RngBitGenerator (+10%% step throughput on '
+                             'TPU, deterministic per backend); '
+                             'threefry2x32 is bit-stable across backends')
     return parser
 
 

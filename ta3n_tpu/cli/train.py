@@ -33,6 +33,11 @@ def main(argv=None):
                           args.compilation_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # dropout RNG implementation (must be set before any PRNGKey is made;
+    # rbg measured +10% step throughput on TPU — BENCH_NOTES.md)
+    import jax as _jax
+    _jax.config.update("jax_default_prng_impl", args.prng_impl)
+
     print('Baseline:', args.baseline_type)
     print('Frame aggregation method:', args.frame_aggregation)
     print('target data usage:', args.use_target)
