@@ -17,5 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True)
+def _restore_global_jax_config():
+    """In-process CLI invocations (cli/train.py:39) set process-global jax
+    config (e.g. jax_default_prng_impl=rbg); restore it so later tests see
+    the default threefry keys they were written against."""
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)
