@@ -36,7 +36,8 @@ def run_one(seed: int, use_da: bool, args) -> float:
                       frame_aggregation="trn-m", train_segments=SEG,
                       val_segments=SEG, fc_dim=args.fc_dim,
                       feature_dim=FDIM, use_attn="TransAttn",
-                      dropout_i=args.dropout, dropout_v=args.dropout)
+                      dropout_i=args.dropout, dropout_v=args.dropout,
+                      compute_dtype=args.compute_dtype)
     if use_da:
         da = DAConfig(use_target="uSv", adv_DA="RevGrad",
                       add_loss_DA="attentive_entropy",
@@ -75,6 +76,10 @@ def main():
     ap.add_argument("--beta", type=float, nargs=3,
                     default=[0.75, 0.75, 0.5])
     ap.add_argument("--dann_lr", action="store_true")
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="accuracy A/B for the bf16 compute path "
+                         "(ROADMAP #5)")
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     args = ap.parse_args()
@@ -89,7 +94,8 @@ def main():
     gains = [r["gain"] for r in rows]
     print(json.dumps({"min_gain": min(gains),
                       "mean_gain": float(np.mean(gains)),
-                      "angle": args.angle, "epochs": args.epochs}))
+                      "angle": args.angle, "epochs": args.epochs,
+                      "compute_dtype": args.compute_dtype}))
 
 
 if __name__ == "__main__":
