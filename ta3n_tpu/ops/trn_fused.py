@@ -13,11 +13,17 @@ scales and subsets into a single Pallas launch:
     'gathers' are static VMEM slices — no gather ops, no index traffic;
   * one kernel, one output write [TB, (S-1)*H] — vs 10+ HLO ops.
 
-The backward is a second fused Pallas kernel (recompute-based): one launch
-produces dx plus every scale's dW/db, with weight-gradient accumulation
-across batch-tile grid steps (revisited output blocks).  An XLA einsum
-backward is kept as the interpret/CPU fallback and as the equivalence
-oracle in tests.
+The backward is a second fused Pallas kernel: the forward saves every
+subset's relu mask (an extra [B, n_subsets*H] bf16 output — 0/1 is exact
+in bf16), so the backward needs no z recompute — one launch produces dx
+plus every scale's dW/db, with weight-gradient accumulation across
+batch-tile grid steps (revisited output blocks).  When the whole batch
+fits one tile, the ragged sublane edge is left to Mosaic's own masking
+instead of an explicit pad op.  Measured on v5e at the published config
+(B=202): bwd 48.5 -> 40.8 us, fwd 16.9 -> 22.3 us (the mask write), pad
++ relayout ops -8.8 us; net -11 us on the TRN path (honest A/B in
+BENCH_NOTES.md).  An XLA einsum backward is kept as the interpret/CPU
+fallback and as the equivalence oracle in tests.
 """
 
 from __future__ import annotations
@@ -63,8 +69,10 @@ def _fwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
     w_refs = refs[1:1 + n_scales]
     b_refs = refs[1 + n_scales:1 + 2 * n_scales]
     out_ref = refs[1 + 2 * n_scales]
+    mask_ref = refs[2 + 2 * n_scales]  # relu masks, one [TB,H] per subset
 
     x = jax.nn.relu(x_ref[:, :])  # [TB, S*D]; relu #1 of the fusion MLP
+    sub_id = 0
     for scale_id, subsets in enumerate(plan.subsets):
         w = w_refs[scale_id]
         bias = b_refs[scale_id][0, :]
@@ -76,8 +84,14 @@ def _fwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
                 wi = w[p * d:(p + 1) * d, :]
                 zi = jnp.dot(xi, wi, preferred_element_type=jnp.float32)
                 z = zi if z is None else z + zi
-            z = jnp.maximum(z + bias[None, :], 0.0)
-            acc = z if acc is None else acc + z
+            zb = z + bias[None, :]
+            # saved for the backward: skips the z recompute there
+            mask = (zb > 0.0).astype(jnp.float32)
+            mask_ref[:, sub_id * h:(sub_id + 1) * h] = mask.astype(
+                mask_ref.dtype)
+            sub_id += 1
+            zr = mask * zb
+            acc = zr if acc is None else acc + zr
         out_ref[:, scale_id * h:(scale_id + 1) * h] = acc.astype(
             out_ref.dtype)
 
@@ -87,7 +101,7 @@ def trn_multiscale_fused(x, weights, biases, num_frames: int,
                          subsample_num: int = 3, interpret: bool = False):
     """Fused forward.  x: [B, S, D] -> [B, S-1, H]."""
     return _fused_forward(x, weights, biases, num_frames, subsample_num,
-                          interpret)
+                          interpret)[0]
 
 
 def _fused_forward(x, weights, biases, num_frames, subsample_num,
@@ -96,14 +110,19 @@ def _fused_forward(x, weights, biases, num_frames, subsample_num,
     b, s, d = x.shape
     h = weights[0].shape[-1]
     n_scales = len(plan.scales)
+    n_sub = sum(len(sub) for sub in plan.subsets)
 
     # VMEM budget: weights are resident every grid step; size the batch
     # tile so tile + outputs + double-buffering stay under the raised cap.
     weight_bytes = sum(w.size * w.dtype.itemsize for w in weights)
     tb = min(_round_up(b, 8), 256)
-    while tb > 64 and (2 * tb * s * d * 4 + 2 * tb * n_scales * h * 4
-                       + weight_bytes) > 96 * 2**20:
+    while tb > 64 and (2 * tb * s * d * 4 + 2 * tb * (n_scales + n_sub)
+                       * h * 4 + weight_bytes) > 96 * 2**20:
         tb //= 2
+    if _round_up(b, 8) <= tb:
+        # whole batch in one tile: Mosaic masks the ragged sublane edge
+        # itself, so skip the explicit pad (saved ~6.5 us/step at B=202)
+        tb = b
     b_pad = _round_up(b, tb)
     xf = x.reshape(b, s * d)
     if b_pad != b:
@@ -118,18 +137,22 @@ def _fused_forward(x, weights, biases, num_frames, subsample_num,
     for _ in biases:
         in_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((tb, n_scales * h), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    out_specs = (pl.BlockSpec((tb, n_scales * h), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tb, n_sub * h), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_fwd_kernel, plan, d, h, n_scales)
     flops = 2 * b_pad * h * d * sum(
         len(sub) * k for k, sub in zip(plan.scales, plan.subsets))
-    out = pl.pallas_call(
+    out, masks = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_scales * h), x.dtype),
+        out_specs=out_specs,
+        out_shape=(jax.ShapeDtypeStruct((b_pad, n_scales * h), x.dtype),
+                   # 0/1 exactly representable; halves the save/reload
+                   jax.ShapeDtypeStruct((b_pad, n_sub * h), jnp.bfloat16)),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=xf.size * 4,
                                       transcendentals=0),
@@ -137,19 +160,21 @@ def _fused_forward(x, weights, biases, num_frames, subsample_num,
             vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(xf, *weights, *[bi.reshape(1, h) for bi in biases])
-    return out[:b].reshape(b, n_scales, h)
+    return out[:b].reshape(b, n_scales, h), masks[:b]
 
 
 def _bwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
-    """Fused backward: recompute z per subset, chain rule, accumulate
-    dW/db across the batch-tile grid (out blocks revisited every step)."""
+    """Fused backward: the forward saved every subset's relu mask, so no
+    z recompute here (saves one GEMM per subset-frame); chain rule +
+    dW/db accumulation across the batch-tile grid (out blocks revisited
+    every step)."""
     x_ref = refs[0]
     g_ref = refs[1]
-    w_refs = refs[2:2 + n_scales]
-    b_refs = refs[2 + n_scales:2 + 2 * n_scales]
-    dx_ref = refs[2 + 2 * n_scales]
-    dw_refs = refs[3 + 2 * n_scales:3 + 3 * n_scales]
-    db_refs = refs[3 + 3 * n_scales:3 + 4 * n_scales]
+    m_ref = refs[2]
+    w_refs = refs[3:3 + n_scales]
+    dx_ref = refs[3 + n_scales]
+    dw_refs = refs[4 + n_scales:4 + 2 * n_scales]
+    db_refs = refs[4 + 2 * n_scales:4 + 3 * n_scales]
 
     first_tile = pl.program_id(0) == 0
 
@@ -162,21 +187,16 @@ def _bwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
     # per-frame accumulators (static python list — no scatter ops)
     dx_frames = [jnp.zeros((tb, d), jnp.float32) for _ in range(num_frames)]
 
+    sub_id = 0
     for scale_id, subsets in enumerate(plan.subsets):
         w = w_refs[scale_id]
-        bias = b_refs[scale_id][0, :]
         gs = g_ref[:, scale_id * h:(scale_id + 1) * h].astype(jnp.float32)
         dw_acc = jnp.zeros(w.shape, jnp.float32)
         db_acc = jnp.zeros((1, h), jnp.float32)
         for subset in subsets:
-            z = None
-            for p, frame in enumerate(subset):
-                zi = jnp.dot(xr[:, frame * d:(frame + 1) * d],
-                             w[p * d:(p + 1) * d, :],
-                             preferred_element_type=jnp.float32)
-                z = zi if z is None else z + zi
-            m = jnp.where(z + bias[None, :].astype(jnp.float32) > 0,
-                          gs, 0.0)   # [TB, H]
+            m = m_ref[:, sub_id * h:(sub_id + 1) * h].astype(
+                jnp.float32) * gs  # [TB, H]
+            sub_id += 1
             db_acc = db_acc + jnp.sum(m, axis=0, keepdims=True)
             parts = []
             for p, frame in enumerate(subset):
@@ -204,24 +224,30 @@ def _bwd_kernel(plan, d: int, h: int, n_scales: int, *refs):
     dx_ref[:, :] = (dx * relu_mask).astype(dx_ref.dtype)
 
 
-def _fused_backward_pallas(x, weights, biases, g, num_frames,
+def _fused_backward_pallas(x, weights, masks, g, num_frames,
                            subsample_num, interpret, tile_batch=None):
     plan = build_relation_plan(num_frames, subsample_num)
     b, s, d = x.shape
     h = weights[0].shape[-1]
     n_scales = len(plan.scales)
+    n_sub = sum(len(sub) for sub in plan.subsets)
 
     weight_bytes = sum(w.size * w.dtype.itemsize for w in weights)
     tb = tile_batch or min(_round_up(b, 8), 256)
-    while tb > 64 and (4 * tb * s * d * 4 + 2 * tb * n_scales * h * 4
+    while tb > 64 and (4 * tb * s * d * 4
+                       + 2 * tb * (n_scales + n_sub) * h * 4
                        + 3 * weight_bytes) > 90 * 2**20:
         tb //= 2
+    if tile_batch is None and _round_up(b, 8) <= tb:
+        tb = b  # single ragged tile, no explicit pads (see forward)
     b_pad = _round_up(b, tb)
     xf = x.reshape(b, s * d)
     gf = g.reshape(b, n_scales * h)
+    mf = masks
     if b_pad != b:
         xf = jnp.pad(xf, ((0, b_pad - b), (0, 0)))
         gf = jnp.pad(gf, ((0, b_pad - b), (0, 0)))
+        mf = jnp.pad(mf, ((0, b_pad - b), (0, 0)))
 
     grid = (b_pad // tb,)
     in_specs = [
@@ -229,12 +255,11 @@ def _fused_backward_pallas(x, weights, biases, g, num_frames,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, n_scales * h), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n_sub * h), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
     ]
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    for _ in biases:
-        in_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     out_specs = [pl.BlockSpec((tb, s * d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
@@ -243,7 +268,7 @@ def _fused_backward_pallas(x, weights, biases, g, num_frames,
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
-    for _ in biases:
+    for _ in range(n_scales):
         out_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct((1, h), jnp.float32))
@@ -258,25 +283,26 @@ def _fused_backward_pallas(x, weights, biases, g, num_frames,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
-    )(xf, gf, *weights, *[bi.reshape(1, h) for bi in biases])
+    )(xf, gf, mf, *weights)
 
     dx = outs[0][:b].reshape(b, s, d)
     dws = [o.astype(w.dtype) for o, w in zip(outs[1:1 + n_scales], weights)]
-    dbs = [o[0].astype(bi.dtype)
-           for o, bi in zip(outs[1 + n_scales:], biases)]
+    dbs = [o[0].astype(w.dtype)
+           for o, w in zip(outs[1 + n_scales:], weights)]
     return dx, tuple(dws), tuple(dbs)
 
 
 def _fused_fwd(x, weights, biases, num_frames, subsample_num, interpret):
-    out = _fused_forward(x, weights, biases, num_frames, subsample_num,
-                         interpret)
-    return out, (x, tuple(weights), tuple(biases))
+    out, masks = _fused_forward(x, weights, biases, num_frames,
+                                subsample_num, interpret)
+    return out, (x, tuple(weights), masks)
 
 
 def _fused_bwd(num_frames, subsample_num, interpret, residuals, g):
-    """Backward via the fused Pallas kernel (interpreted off-TPU)."""
-    x, weights, biases = residuals
-    return _fused_backward_pallas(x, weights, biases, g, num_frames,
+    """Backward via the fused Pallas kernel (interpreted off-TPU); the
+    forward's saved relu masks make it recompute-free."""
+    x, weights, masks = residuals
+    return _fused_backward_pallas(x, weights, masks, g, num_frames,
                                   subsample_num, interpret)
 
 

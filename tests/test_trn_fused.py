@@ -75,8 +75,9 @@ def test_pallas_backward_matches_xla_backward(data):
     g = jnp.asarray(np.random.default_rng(2).normal(
         size=(B, S - 1, H)).astype(np.float32))
     from ta3n_tpu.ops.trn_fused import (_fused_backward_pallas,
-                                        _fused_bwd_xla)
-    dx_p, dw_p, db_p = _fused_backward_pallas(x, weights, biases, g, S, 3,
+                                        _fused_bwd_xla, _fused_forward)
+    masks = _fused_forward(x, weights, biases, S, 3, True)[1]
+    dx_p, dw_p, db_p = _fused_backward_pallas(x, weights, masks, g, S, 3,
                                               True)
     dx_x, dw_x, db_x = _fused_bwd_xla(S, 3, (x, weights, biases), g)
     np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
@@ -98,7 +99,8 @@ def test_pallas_backward_multi_tile_accumulation(data):
     from ta3n_tpu.ops import trn_fused as tf
     dx1, dw1, db1 = tf._fused_bwd_xla(S, 3, (xb, weights, biases), gb)
     # force 3 grid tiles (20 rows, tile 8 -> padded 24)
-    dx2, dw2, db2 = tf._fused_backward_pallas(xb, weights, biases, gb,
+    masks = tf._fused_forward(xb, weights, biases, S, 3, True)[1]
+    dx2, dw2, db2 = tf._fused_backward_pallas(xb, weights, masks, gb,
                                               S, 3, True, tile_batch=8)
     np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), rtol=1e-4,
                                atol=1e-5)
