@@ -53,6 +53,9 @@ import os
 # videos/s; r1 sweep had K=8 ahead — the tunnel's dispatch cost drifts
 # between sessions, so this stays an env knob)
 K = int(os.environ.get("TA3N_BENCH_K", 16))  # optimizer steps/dispatch
+# HBM store dtype: float32 (default; exact reference rows) or bfloat16
+# (--store_dtype production option: halves residency + gather bytes)
+STORE_DTYPE = os.environ.get("TA3N_BENCH_STORE_DTYPE", "float32")
 WARMUP, CALLS, WINDOWS = 3, 20, 3
 STORE_S_ROWS, STORE_T_ROWS = 20000, 12000
 
@@ -88,10 +91,11 @@ def main():
     step = make_multi_train_step(model, da, tc)
 
     g = np.random.default_rng(0)
-    store_s = jax.device_put(
-        g.normal(size=(STORE_S_ROWS, FDIM)).astype(np.float32))
-    store_t = jax.device_put(
-        g.normal(size=(STORE_T_ROWS, FDIM)).astype(np.float32))
+    sdt = jnp.dtype(STORE_DTYPE)
+    store_s = jax.device_put(jnp.asarray(
+        g.normal(size=(STORE_S_ROWS, FDIM)).astype(np.float32), dtype=sdt))
+    store_t = jax.device_put(jnp.asarray(
+        g.normal(size=(STORE_T_ROWS, FDIM)).astype(np.float32), dtype=sdt))
     idx_s = g.integers(0, STORE_S_ROWS, size=(K, BS, SEG)).astype(np.int32)
     idx_t = g.integers(0, STORE_T_ROWS, size=(K, BT, SEG)).astype(np.int32)
     ys = g.integers(0, NCLASS, size=(K, BS)).astype(np.int32)

@@ -26,7 +26,7 @@ import numpy as np
 BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12
 
 
-def build_step(k: int, compute_dtype: str):
+def build_step(k: int, compute_dtype: str, store_dtype: str = "float32"):
     from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
     from ta3n_tpu.models import VideoModel
     from ta3n_tpu.train import StepScalars, create_train_state
@@ -47,8 +47,11 @@ def build_step(k: int, compute_dtype: str):
     step = make_multi_train_step(model, da, tc)
 
     g = np.random.default_rng(0)
-    store_s = jax.device_put(g.normal(size=(20000, FDIM)).astype(np.float32))
-    store_t = jax.device_put(g.normal(size=(12000, FDIM)).astype(np.float32))
+    sdt = jnp.dtype(store_dtype)
+    store_s = jax.device_put(jnp.asarray(
+        g.normal(size=(20000, FDIM)).astype(np.float32), dtype=sdt))
+    store_t = jax.device_put(jnp.asarray(
+        g.normal(size=(12000, FDIM)).astype(np.float32), dtype=sdt))
     args = (store_s,
             g.integers(0, 20000, size=(k, BS, SEG)).astype(np.int32),
             g.integers(0, NCLASS, size=(k, BS)).astype(np.int32),
@@ -90,10 +93,12 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--prng_impl", default="rbg",
                     help="match bench.py's default (rbg)")
+    ap.add_argument("--store_dtype", default="float32")
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl", args.prng_impl)
 
-    state, step, sargs, sc, rng = build_step(args.k, args.dtype)
+    state, step, sargs, sc, rng = build_step(args.k, args.dtype,
+                                             args.store_dtype)
     (store_s, idx_s, ys, ms, store_t, idx_t, yt, mt) = sargs
 
     # compile + warm

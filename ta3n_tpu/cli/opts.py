@@ -157,6 +157,13 @@ def build_parser() -> argparse.ArgumentParser:
                              'rows resident per shard (device_store only; '
                              '0 = fully resident). Peak device residency '
                              'is 2 shards (current + prefetched)')
+    parser.add_argument('--store_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='dtype of the HBM-resident feature store '
+                             '(device_store only): bfloat16 halves HBM '
+                             'residency and per-step gather bytes; rows '
+                             'are cast to --compute_dtype after the '
+                             'gather')
     parser.add_argument('--seed', type=int, default=1,
                         help='global seed (the reference hardcodes 1, '
                              'main.py:24-26)')

@@ -75,6 +75,10 @@ def build_parser():
                         help='larger-than-HBM eval: stream the store in '
                              'shards of <= this many rows (device_store '
                              'only; 0 = fully resident)')
+    parser.add_argument('--store_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='HBM store dtype (device_store only); '
+                             'bfloat16 halves residency + gather bytes')
     return parser
 
 
@@ -148,13 +152,17 @@ def main(argv=None):
             x = x * mask[:, None, None].astype(x.dtype)
             return _infer(x)
 
+        s_dtype = (jnp.dtype(args.store_dtype)
+                   if args.store_dtype != 'float32' else None)
         if streaming:
             from ta3n_tpu.data.streaming import ShardPlan, ShardStream
             plan = ShardPlan(store.offsets, args.store_budget_rows)
-            stream = ShardStream(store.features, plan)
+            stream = ShardStream(store.features, plan, dtype=s_dtype)
         else:
-            store_dev = jax.device_put(
-                np.ascontiguousarray(store.features))
+            arr = np.ascontiguousarray(store.features)
+            if s_dtype is not None and arr.dtype != s_dtype:
+                arr = arr.astype(s_dtype)
+            store_dev = jax.device_put(arr)
     else:
         infer = jax.jit(_infer)
 

@@ -78,6 +78,7 @@ def main(argv=None):
                       device_store=args.device_store,
                       steps_per_call=args.steps_per_call,
                       store_budget_rows=args.store_budget_rows or None,
+                      store_dtype=args.store_dtype,
                       seed=args.seed,
                       prefetch_depth=max(1, args.workers))
 

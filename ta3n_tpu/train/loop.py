@@ -99,7 +99,8 @@ class Trainer:
                  device_store: bool = False,
                  steps_per_call: int = 1,
                  prefetch_depth: int = 2,
-                 store_budget_rows: Optional[int] = None):
+                 store_budget_rows: Optional[int] = None,
+                 store_dtype: Optional[str] = None):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -172,6 +173,12 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cw,
                                         gather_on_device=device_store,
                                         mesh=self.mesh)
+        # device stores may live in HBM at a narrower dtype (bfloat16):
+        # halves residency + per-step gather bytes; the model casts
+        # gathered rows to compute_dtype, and the first GEMM runs in bf16
+        # on the MXU either way.  None/float32 keeps exact f32 rows.
+        self._store_dtype = (jnp.dtype(store_dtype)
+                             if store_dtype not in (None, "") else None)
         self.streaming = False
         if device_store and store_budget_rows:
             # larger-than-HBM mode: shards of <= budget_rows streamed
@@ -183,7 +190,8 @@ class Trainer:
             def plan_stream(loader):
                 plan = ShardPlan(loader.store.offsets, store_budget_rows)
                 return plan, ShardStream(loader.store.features, plan,
-                                         store_sharding)
+                                         store_sharding,
+                                         dtype=self._store_dtype)
             self._plan_s, self._stream_s = plan_stream(source_loader)
             self._plan_t, self._stream_t = plan_stream(target_loader)
             self._plan_v, self._stream_v = plan_stream(val_loader)
@@ -192,6 +200,9 @@ class Trainer:
             # collapses to index arithmetic
             def put_store(store):
                 arr = np.ascontiguousarray(store.features)
+                if (self._store_dtype is not None
+                        and arr.dtype != self._store_dtype):
+                    arr = arr.astype(self._store_dtype)
                 return jax.device_put(arr, store_sharding)
             self._dev_store_s = put_store(source_loader.store)
             self._dev_store_t = put_store(target_loader.store)

@@ -102,6 +102,66 @@ def test_trainer_device_store_end_to_end(tmp_path):
     assert best >= 0.0
 
 
+def test_bf16_store_step_close_to_f32_store():
+    """--store_dtype bfloat16: rows are quantized once in HBM; a step's
+    loss must match the f32 store within bf16 input tolerance."""
+    src, tgt, _ = make_domain_pair(num_source=24, num_target=18, num_val=8,
+                                   num_class=3, feature_dim=FDIM)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(8, 6, 8))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    step = make_train_step(model, da, tc, gather_on_device=True)
+    li_s = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test",
+                     seed=1)
+    li_t = TSNLoader(tgt, batch_size=6, num_segments=SEG, mode="test",
+                     seed=2)
+    store_s = jnp.asarray(np.ascontiguousarray(src.features))
+    store_t = jnp.asarray(np.ascontiguousarray(tgt.features))
+    sc = StepScalars(np.float32([0.5, 0.5, 0.5]), np.float32(0),
+                     np.float32(0), np.float32(0), np.float32(0.1))
+    bi_s = next(iter(li_s.index_epoch()))
+    bi_t = next(iter(li_t.index_epoch()))
+    st = create_train_state(model, rng, 8, 6, tc)
+    _, m32 = step(st, store_s, bi_s.abs_indices, bi_s.labels, bi_s.mask,
+                  store_t, bi_t.abs_indices, bi_t.labels, bi_t.mask, sc,
+                  rng)
+    st = create_train_state(model, rng, 8, 6, tc)
+    _, m16 = step(st, store_s.astype(jnp.bfloat16), bi_s.abs_indices,
+                  bi_s.labels, bi_s.mask, store_t.astype(jnp.bfloat16),
+                  bi_t.abs_indices, bi_t.labels, bi_t.mask, sc, rng)
+    np.testing.assert_allclose(float(m32["loss"]), float(m16["loss"]),
+                               rtol=2e-2)
+
+
+def test_trainer_bf16_store_end_to_end(tmp_path):
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=12, num_class=3,
+                                     feature_dim=FDIM, shift=0.8)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.1, dropout_v=0.1)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.05, epochs=1, batch_size=(8, 6, 8),
+                     beta=(0.5, 0.5, 0.5))
+    ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test", seed=1)
+    lt = TSNLoader(tgt, batch_size=6, num_segments=SEG, mode="test", seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, path_exp=str(tmp_path) + "/",
+                 use_mesh=True, device_store=True, steps_per_call=2,
+                 store_dtype="bfloat16", eval_freq=1, print_freq=1,
+                 show_freq=100)
+    best = tr.fit()
+    assert best >= 0.0
+
+
 def test_eval_step_device_store():
     src, _, _ = make_domain_pair(num_source=12, num_target=8, num_val=8,
                                  num_class=3, feature_dim=FDIM)
