@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--device_store", action="store_true",
                     help="HBM-resident feature stores, on-device gather")
     ap.add_argument("--steps_per_call", type=int, default=1)
+    ap.add_argument("--device_sampler", action="store_true",
+                    help="index pipeline on device (no host sampling)")
     args = ap.parse_args()
 
     src = make_synthetic_store(1438, 12, args.feature_dim, shift=0.0,
@@ -59,7 +61,8 @@ def main():
                       print_freq=10, show_freq=10, eval_freq=5,
                       save_model=True, use_mesh=False,
                       device_store=args.device_store,
-                      steps_per_call=args.steps_per_call)
+                      steps_per_call=args.steps_per_call,
+                      device_sampler=args.device_sampler)
     t0 = time.time()
     best = trainer.fit()
     dt = time.time() - t0

@@ -157,6 +157,16 @@ def build_parser() -> argparse.ArgumentParser:
                              'rows resident per shard (device_store only; '
                              '0 = fully resident). Peak device residency '
                              'is 2 shards (current + prefetched)')
+    parser.add_argument('--device_sampler', default=False,
+                        action='store_true',
+                        help='generate index batches ON DEVICE (epoch '
+                             'permutation + TSN sampling inside the '
+                             'compiled scan): no per-step host sampling '
+                             'or index upload. Requires --device_store '
+                             'and --steps_per_call > 1; random-mode '
+                             'sampling uses a keyed PRNG stream '
+                             '(deterministic per seed, distribution-'
+                             'equal to the host sampler)')
     parser.add_argument('--store_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='dtype of the HBM-resident feature store '

@@ -79,6 +79,7 @@ def main(argv=None):
                       steps_per_call=args.steps_per_call,
                       store_budget_rows=args.store_budget_rows or None,
                       store_dtype=args.store_dtype,
+                      device_sampler=args.device_sampler,
                       seed=args.seed,
                       prefetch_depth=max(1, args.workers))
 

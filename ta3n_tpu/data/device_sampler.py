@@ -1,0 +1,138 @@
+"""Device-side TSN index pipeline: epoch shuffling + segment sampling
+inside the jitted train step.
+
+The host loader (data/loader.py) replaces the reference's DataLoader
+worker processes (main.py:169-200) with a vectorised numpy pipeline —
+but in the K-steps-per-dispatch production mode the per-call
+host->device upload of stacked index/label/mask batches (~5 KB/step)
+and the single-core host sampling become the residual bottleneck: the
+profiled device floor is ~284 us/step while the end-to-end step is
+~323 us (BENCH_NOTES.md).  This module moves the whole index pipeline
+onto the accelerator: per-epoch `jax.random.permutation` order, the
+three TSN samplers (dataset.py:76-116 semantics, same math as
+data/samplers.py), new_length expansion, and the offset arithmetic all
+trace into the scan body — the only per-call host traffic left is the
+schedule scalars.
+
+Sampling parity note: deterministic modes ('val'/'test') produce
+BITWISE the host loader's indices (tested).  'random' mode draws from
+a counter-keyed PRNG instead of the host's sequential numpy Generator —
+same distribution (chunk-aligned offsets, sorted fallback), different
+stream; runs are deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ta3n_tpu.data.loader import TSNLoader
+
+__all__ = ["DeviceSampler"]
+
+
+class DeviceSampler:
+    """Traced index-batch generator bound to one loader's records."""
+
+    def __init__(self, loader: TSNLoader, seed: int = 0):
+        store = loader.store
+        # per-record row offset into the packed store (list repetition —
+        # dataset.py:69-74 — is already reflected in loader.video_idx)
+        self.offsets = jnp.asarray(
+            np.asarray(store.offsets)[loader.video_idx], jnp.int32)
+        self.num_frames = jnp.asarray(loader.num_frames, jnp.int32)
+        self.labels = jnp.asarray(loader.labels, jnp.int32)
+        self.n = len(loader.records)
+        self.batch_size = loader.batch_size
+        self.pad_to = max(loader.pad_to, loader.batch_size)
+        self.steps_per_epoch = len(loader)
+        self.num_segments = loader.num_segments
+        self.new_length = loader.new_length
+        self.mode = loader.mode
+        self.shuffle = loader.shuffle
+        key = jax.random.PRNGKey(seed)
+        self._perm_key, self._samp_key = jax.random.split(key)
+
+    def epoch_order(self, epoch: jax.Array) -> jax.Array:
+        """Record visit order for one epoch ([n] int32).  A permutation
+        is a full sort of n random keys — expensive per step, cheap per
+        epoch; multi-step callers hoist it out of the scan
+        (make_sampled_multi_step)."""
+        if not self.shuffle:
+            return jnp.arange(self.n)
+        return jax.random.permutation(
+            jax.random.fold_in(self._perm_key, epoch), self.n)
+
+    # ---- traced batch construction ----
+    def batch(self, step: jax.Array, order: jax.Array = None
+              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """step: traced int32 global step -> (abs_idx [P, T] int32,
+        labels [P] int32, mask [P] float32); P = pad_to.
+        ``order``: optionally the precomputed epoch_order(step // spe)."""
+        spe = self.steps_per_epoch
+        i = step % spe
+        if order is None:
+            order = self.epoch_order(step // spe)
+        pos = i * self.batch_size + jnp.arange(self.pad_to)
+        valid = jnp.logical_and(pos < self.n,
+                                jnp.arange(self.pad_to) < self.batch_size)
+        sel = order[jnp.clip(pos, 0, self.n - 1)]
+        sel = jnp.where(valid, sel, 0)
+
+        nf = self.num_frames[sel]
+        starts = self._sample(nf, jax.random.fold_in(self._samp_key, step))
+        frames = self._expand_new_length(starts, nf)
+        abs_idx = (self.offsets[sel][:, None] + frames).astype(jnp.int32)
+        mask = valid.astype(jnp.float32)
+        abs_idx = jnp.where(valid[:, None], abs_idx, 0)  # masked rows: row 0
+        return abs_idx, self.labels[sel], mask
+
+    # ---- samplers: jnp mirrors of data/samplers.py ----
+    def _sample(self, nf: jax.Array, key: jax.Array) -> jax.Array:
+        s, l = self.num_segments, self.new_length
+        if self.mode == "random":  # dataset.py:76-90
+            b = nf.shape[0]
+            avg = (nf - l + 1) // s
+            base = jnp.arange(s)[None, :] * avg[:, None]
+            k1, k2 = jax.random.split(key)
+            r = jax.random.randint(k1, (b, s), 0,
+                                   jnp.maximum(avg, 1)[:, None])
+            case1 = base + r
+            hi = jnp.maximum(nf - l + 1, 1)
+            case2 = jnp.sort(
+                jax.random.randint(k2, (b, s), 0, hi[:, None]), axis=1)
+            zeros = jnp.zeros((b, s), jnp.int32)
+            return jnp.where((avg > 0)[:, None], case1,
+                             jnp.where((nf > s)[:, None], case2, zeros)
+                             ).astype(jnp.int32)
+        num_min = s + l - 1
+        num_select = nf - l + 1
+        # tick/2 + tick*x with tick = num_select/s, floored — computed in
+        # exact integer arithmetic: floor(num_select*(2x+1) / (2s)),
+        # identical to the host's float64 result for all realistic sizes
+        x = jnp.arange(s, dtype=jnp.int32)[None, :]
+        central = (num_select[:, None] * (2 * x + 1)) // (2 * s)
+        if self.mode == "val":     # dataset.py:92-101
+            return jnp.where((nf >= num_min)[:, None], central, 0)
+        if self.mode == "test":    # dataset.py:103-116 short-video branch
+            ns = jnp.maximum(num_select, 1)
+            short = jnp.minimum(jnp.arange(s)[None, :], ns[:, None] - 1)
+            return jnp.where((nf >= num_min)[:, None], central,
+                             short.astype(jnp.int32))
+        raise ValueError(f"unknown mode {self.mode}")
+
+    def _expand_new_length(self, starts: jax.Array, nf: jax.Array
+                           ) -> jax.Array:
+        """[P, S] -> [P, S*new_length], clamped at the last frame
+        (dataset.py:128-144)."""
+        l = self.new_length
+        if l == 1:
+            return starts
+        steps = jnp.arange(l)[None, None, :]
+        frames = starts[:, :, None] + steps
+        frames = jnp.minimum(frames, (nf - 1)[:, None, None])
+        p, s, _ = frames.shape
+        return frames.reshape(p, s * l)

@@ -100,7 +100,8 @@ class Trainer:
                  steps_per_call: int = 1,
                  prefetch_depth: int = 2,
                  store_budget_rows: Optional[int] = None,
-                 store_dtype: Optional[str] = None):
+                 store_dtype: Optional[str] = None,
+                 device_sampler: bool = False):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -208,6 +209,27 @@ class Trainer:
             self._dev_store_t = put_store(target_loader.store)
             self._dev_store_v = put_store(val_loader.store)
 
+        # device-side index pipeline (data/device_sampler.py): epoch
+        # permutation + TSN sampling traced into the K-step scan — no
+        # per-step host sampling or index upload.  Resident-store multi-
+        # step mode only (streaming/aux/pretrain fall back to host feed).
+        self.sampled_step = None
+        if (device_sampler and device_store and not self.streaming
+                and self.steps_per_call > 1):
+            from ta3n_tpu.data.device_sampler import DeviceSampler
+            from ta3n_tpu.train.step import make_sampled_multi_step
+            self._sampler_s = DeviceSampler(source_loader, seed=seed + 101)
+            self._sampler_t = DeviceSampler(target_loader, seed=seed + 202)
+            # zip-shortest epoch semantics (main.py:330): both samplers
+            # advance on a common steps-per-epoch; each epoch reshuffles
+            # and drops the longer loader's tail, like the host zip
+            spe = min(len(source_loader), len(target_loader))
+            self._sampler_s.steps_per_epoch = spe
+            self._sampler_t.steps_per_epoch = spe
+            self.sampled_step = make_sampled_multi_step(
+                self.model, da_cfg, train_cfg, self._sampler_s,
+                self._sampler_t, cw, dw, mesh=self.mesh)
+
         self.lr_current = train_cfg.lr
         self.best_prec1 = 0.0
         self.start_epoch = 1
@@ -278,8 +300,6 @@ class Trainer:
             return device_prefetch(prefetch(it, self.prefetch_depth),
                                    self.batch_sharding)
 
-        # thread prefetch (host gather) + device prefetch (async H2D)
-        pairs = zip(stream(self.source_loader), stream(self.target_loader))
         last_line = ""
         pending = []  # unmaterialized device metrics: sync only at print
         attn_src_epoch, attn_tgt_epoch = [], []
@@ -311,6 +331,15 @@ class Trainer:
                                       n)
                 meters["top5"].update(100.0 * float(m["top5"]) / max(n, 1),
                                       n)
+
+        if self.sampled_step is not None:
+            # device-side index pipeline: no host iterators at all
+            return self._train_epoch_sampled(epoch, meters, flush, pending,
+                                             alpha, start_steps,
+                                             total_steps)
+
+        # thread prefetch (host gather) + device prefetch (async H2D)
+        pairs = zip(stream(self.source_loader), stream(self.target_loader))
 
         if self.multi_step is not None:
             return self._train_epoch_multi(epoch, meters, pairs, flush,
@@ -490,6 +519,50 @@ class Trainer:
                     chunk = []
             if chunk:
                 run_chunk(chunk)
+        flush()
+        if self.logs and last_line:
+            self.logs.write("train_short.log", last_line)
+        return meters["loss_c"].avg
+
+    def _train_epoch_sampled(self, epoch, meters, flush, pending, alpha,
+                             start_steps, total_steps):
+        """Device-sampled epoch: the scan generates its own index batches
+        from state.step; the host only ships schedule scalars."""
+        tc = self.train_cfg
+        K = self.steps_per_call
+        spe = self._sampler_s.steps_per_epoch
+        end = time.time()
+        last_line = ""
+        i = 0
+        while i < spe:
+            k = min(K, spe - i)
+            betas, lrs = [], []
+            for j in range(k):
+                p = progress(i + j, start_steps, total_steps)
+                betas.append(effective_beta(tc.beta, p))
+                lrs.append(self.lr_current)
+                if tc.lr_adaptive == "dann":  # main.py:619-621
+                    self.lr_current = dann_lr(tc.lr, p)
+            sc = StepScalars(
+                np.asarray(betas, np.float32),
+                np.full(k, tc.mu, np.float32),
+                np.full(k, alpha, np.float32),
+                np.full(k, tc.gamma, np.float32),
+                np.asarray(lrs, np.float32))
+            self.state, m = self.sampled_step(
+                self.state, self._dev_store_s, self._dev_store_t, sc,
+                self.rng)
+            pending.append(("stacked", m, k))
+            meters["batch_time"].update((time.time() - end) / k, k)
+            end = time.time()
+            i += k
+            if (i - k) // K % max(self.print_freq // K, 1) == 0:
+                flush()
+                last_line = self._format_train_line(
+                    epoch, i - 1, spe, meters, alpha, betas[-1], tc)
+                if self.logs:
+                    self.logs.write("train.log", last_line)
+                print(last_line)
         flush()
         if self.logs and last_line:
             self.logs.write("train_short.log", last_line)

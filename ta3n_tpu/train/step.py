@@ -570,6 +570,79 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
     return multi_step
 
 
+def make_sampled_multi_step(model: VideoModel, da: DAConfig,
+                            train_cfg: TrainConfig,
+                            sampler_s, sampler_t,
+                            class_weights: Optional[jnp.ndarray] = None,
+                            domain_weights: Optional[jnp.ndarray] = None,
+                            mesh=None, axis_name: str = "data"):
+    """K steps per dispatch with the index pipeline ON DEVICE.
+
+    Like make_multi_train_step, but the per-step index/label/mask batches
+    are generated inside the scan by DeviceSampler (epoch permutation +
+    TSN sampling traced into the program, keyed off state.step) instead
+    of being stacked on the host — the only per-call host->device
+    traffic is the [K,...] schedule scalars (~100 B/step vs ~5 KB/step).
+    K is implied by the scalars' leading dimension (jit re-specializes
+    per distinct K, so a full-K program and one remainder program
+    coexist in the cache).
+
+    Signature: step(state, store_s, store_t, scalars[K,...], rng)
+      -> (state, metrics stacked [K])
+
+    With ``mesh`` the generated batches are sharding-constrained on the
+    batch axis (data parallelism as in the host-fed path).
+    """
+    step_fn = make_train_step(model, da, train_cfg, class_weights,
+                              domain_weights, gather_on_device=True).raw
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def constrain(x):
+            spec = P(*([axis_name] + [None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+    else:
+        def constrain(x):
+            return x
+
+    jit_kwargs = {}
+    if mesh is not None:
+        rep, _, _ = _mesh_shardings(mesh, axis_name)
+        jit_kwargs = dict(in_shardings=(rep, rep, rep, rep, rep),
+                          out_shardings=(rep, rep))
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
+    def multi_step(state, store_s, store_t, scalars: StepScalars, rng):
+        k = scalars.lr.shape[0]
+        spe = sampler_s.steps_per_epoch  # == sampler_t's (zip-shortest)
+        # hoist epoch permutations out of the scan: a K-step call touches
+        # at most ceil(K/spe)+1 epochs; computing the sort-based
+        # permutation per STEP measured slower than host feeding
+        # (594.9k vs 630.3k videos/s) — per CALL it is amortized away
+        n_epochs = -(-k // spe) + 1
+        e0 = state.step // spe
+        eids = e0 + jnp.arange(n_epochs)
+        perms_s = jax.vmap(sampler_s.epoch_order)(eids)
+        perms_t = jax.vmap(sampler_t.epoch_order)(eids)
+
+        def body(st, sc):
+            row = st.step // spe - e0
+            idx_s, ys, ms = sampler_s.batch(st.step, perms_s[row])
+            idx_t, yt, mt = sampler_t.batch(st.step, perms_t[row])
+            idx_s, ys, ms = (constrain(idx_s), constrain(ys),
+                             constrain(ms))
+            idx_t, yt, mt = (constrain(idx_t), constrain(yt),
+                             constrain(mt))
+            return step_fn(st, store_s, idx_s, ys, ms,
+                           store_t, idx_t, yt, mt, sc, rng)
+
+        return jax.lax.scan(body, state, scalars)
+
+    return multi_step
+
+
 def make_eval_step(model: VideoModel,
                    class_weights: Optional[jnp.ndarray] = None,
                    gather_on_device: bool = False,

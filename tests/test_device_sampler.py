@@ -1,0 +1,169 @@
+"""Device-side index pipeline (data/device_sampler.py).
+
+Deterministic modes must reproduce the host loader's index batches
+bitwise; shuffled epochs must cover every record exactly once; the
+sampled K-step program must produce the same training result as the
+host-stacked multi-step when both consume identical batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.data import TSNLoader
+from ta3n_tpu.data.device_sampler import DeviceSampler
+from ta3n_tpu.data.synthetic import make_domain_pair
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.train import StepScalars, create_train_state
+from ta3n_tpu.train.loop import Trainer
+from ta3n_tpu.train.step import (make_multi_train_step,
+                                 make_sampled_multi_step)
+
+SEG, FDIM = 3, 16
+
+
+def _loader(store, bs, mode="test", shuffle=False, seed=1, pad_to=None):
+    return TSNLoader(store, batch_size=bs, num_segments=SEG, mode=mode,
+                     shuffle=shuffle, seed=seed, pad_to=pad_to)
+
+
+def test_deterministic_modes_match_host_bitwise():
+    src, _, _ = make_domain_pair(num_source=23, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    for mode in ("test", "val"):
+        host = _loader(src, bs=6, mode=mode)
+        dev = DeviceSampler(_loader(src, bs=6, mode=mode), seed=0)
+        for step, hb in enumerate(host.index_epoch()):
+            idx, lab, mask = jax.jit(dev.batch)(jnp.asarray(step))
+            np.testing.assert_array_equal(np.asarray(idx), hb.abs_indices,
+                                          err_msg=f"{mode} step {step}")
+            np.testing.assert_array_equal(np.asarray(lab), hb.labels)
+            np.testing.assert_array_equal(np.asarray(mask), hb.mask)
+
+
+def test_pad_to_rows_masked_like_host():
+    src, _, _ = make_domain_pair(num_source=10, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    host = _loader(src, bs=4, pad_to=8)
+    dev = DeviceSampler(_loader(src, bs=4, pad_to=8), seed=0)
+    for step, hb in enumerate(host.index_epoch()):
+        idx, lab, mask = dev.batch(jnp.asarray(step))
+        np.testing.assert_array_equal(np.asarray(mask), hb.mask)
+        np.testing.assert_array_equal(np.asarray(idx), hb.abs_indices)
+
+
+def test_shuffled_epoch_covers_every_record_once():
+    src, _, _ = make_domain_pair(num_source=21, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    dev = DeviceSampler(_loader(src, bs=6, shuffle=True), seed=3)
+    for epoch in range(2):
+        seen = []
+        for i in range(dev.steps_per_epoch):
+            step = epoch * dev.steps_per_epoch + i
+            idx, lab, mask = dev.batch(jnp.asarray(step))
+            m = np.asarray(mask) > 0
+            # recover record ids from the row offsets
+            offs = np.asarray(dev.offsets)
+            rec = np.searchsorted(offs, np.asarray(idx)[m][:, 0],
+                                  side="right") - 1
+            seen.extend(rec.tolist())
+        assert sorted(seen) == list(range(21)), f"epoch {epoch}"
+
+
+def test_random_mode_bounds_and_alignment():
+    src, _, _ = make_domain_pair(num_source=16, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    loader = _loader(src, bs=16, mode="random", shuffle=False)
+    dev = DeviceSampler(loader, seed=5)
+    nf = np.asarray(dev.num_frames)
+    offs = np.asarray(dev.offsets)
+    idx, _, mask = dev.batch(jnp.asarray(0))
+    local = np.asarray(idx) - offs[:, None]
+    avg = nf // SEG
+    for v in range(16):
+        assert (local[v] >= 0).all() and (local[v] < nf[v]).all()
+        if avg[v] > 0:  # chunk-aligned: segment s in [s*avg, (s+1)*avg)
+            chunk = local[v] // avg[v]
+            np.testing.assert_array_equal(chunk, np.arange(SEG))
+
+
+def test_sampled_multi_step_matches_host_stacked():
+    src, tgt, _ = make_domain_pair(num_source=24, num_target=18, num_val=8,
+                                   num_class=3, feature_dim=FDIM)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.5, dropout_v=0.5)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(8, 6, 8))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    K = 3
+
+    ls = _loader(src, bs=8)
+    lt = _loader(tgt, bs=6)
+    samp_s = DeviceSampler(_loader(src, bs=8), seed=0)
+    samp_t = DeviceSampler(_loader(tgt, bs=6), seed=0)
+    spe = min(len(ls), len(lt))
+    samp_s.steps_per_epoch = spe
+    samp_t.steps_per_epoch = spe
+
+    host_step = make_multi_train_step(model, da, tc)
+    dev_step = make_sampled_multi_step(model, da, tc, samp_s, samp_t)
+
+    store_s = jnp.asarray(np.ascontiguousarray(src.features))
+    store_t = jnp.asarray(np.ascontiguousarray(tgt.features))
+    bs_list = list(ls.index_epoch())[:K]
+    bt_list = list(lt.index_epoch())[:K]
+    sc = StepScalars(np.tile(np.float32([0.5, 0.5, 0.5]), (K, 1)),
+                     np.zeros(K, np.float32), np.zeros(K, np.float32),
+                     np.zeros(K, np.float32), np.full(K, 0.1, np.float32))
+
+    st_h = create_train_state(model, rng, 8, 6, tc)
+    st_h, m_h = host_step(
+        st_h, store_s, np.stack([b.abs_indices for b in bs_list]),
+        np.stack([b.labels for b in bs_list]),
+        np.stack([b.mask for b in bs_list]),
+        store_t, np.stack([b.abs_indices for b in bt_list]),
+        np.stack([b.labels for b in bt_list]),
+        np.stack([b.mask for b in bt_list]), sc, rng)
+
+    st_d = create_train_state(model, rng, 8, 6, tc)
+    st_d, m_d = dev_step(st_d, store_s, store_t, sc, rng)
+
+    np.testing.assert_allclose(np.asarray(m_h["loss"]),
+                               np.asarray(m_d["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_h.params),
+                    jax.tree_util.tree_leaves(st_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_device_sampler_end_to_end(tmp_path):
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=12, num_class=3,
+                                     feature_dim=FDIM, shift=0.8)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.1, dropout_v=0.1)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.05, epochs=2, batch_size=(8, 6, 8),
+                     beta=(0.5, 0.5, 0.5), lr_adaptive="dann")
+    ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="random",
+                   seed=1)
+    lt = TSNLoader(tgt, batch_size=6, num_segments=SEG, mode="random",
+                   seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, path_exp=str(tmp_path) + "/",
+                 use_mesh=True, device_store=True, steps_per_call=2,
+                 device_sampler=True, eval_freq=1, print_freq=1,
+                 show_freq=100)
+    assert tr.sampled_step is not None
+    best = tr.fit()
+    assert best >= 0.0
+    for leaf in jax.tree_util.tree_leaves(tr.state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
