@@ -61,6 +61,31 @@ def test_train_cli_end_to_end(workspace):
     assert os.path.getsize(path_exp + "train.log") > 0
 
 
+def test_train_cli_device_sampler_bf16_store(workspace):
+    """--device_sampler + --store_dtype bfloat16 through the real CLI."""
+    from ta3n_tpu.cli.train import main
+    exp = workspace / "exp_dsamp"
+    best = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "src" / "list.txt"),
+        str(workspace / "tgt" / "list.txt"),
+        str(workspace / "val" / "list.txt"),
+        "--exp_path", str(exp) + "/",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--num_segments", "3", "--val_segments", "3",
+        "--add_fc", "1", "--fc_dim", "16", "--feature_dim", "16",
+        "--use_target", "uSv", "--adv_DA", "RevGrad",
+        "--beta", "0.5", "0.5", "0.5", "--use_attn", "TransAttn",
+        "--lr", "0.1", "--epochs", "1", "-b", "8", "6", "8",
+        "--device_store", "--steps_per_call", "2", "--device_sampler",
+        "--store_dtype", "bfloat16",
+        "-pf", "1", "-sf", "100", "-ef", "1",
+        "--save_best_log", str(exp) + "/best.log",
+    ])
+    assert best >= 0.0
+    assert os.path.getsize(str(exp) + "/RGB/train.log") > 0
+
+
 def test_eval_cli(workspace):
     from ta3n_tpu.cli.test_models import main
     exp = workspace / "exp"
