@@ -30,7 +30,16 @@ def main():
     ap.add_argument("--steps_per_call", type=int, default=1)
     ap.add_argument("--device_sampler", action="store_true",
                     help="index pipeline on device (no host sampling)")
+    ap.add_argument("--compilation_cache", type=str, default=None,
+                    help="persistent XLA compile cache dir (isolates "
+                         "steady-state wall clock from compile time)")
     args = ap.parse_args()
+    if args.compilation_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
 
     src = make_synthetic_store(1438, 12, args.feature_dim, shift=0.0,
                                seed=0, prefix="src")
