@@ -83,6 +83,14 @@ def build_loaders(args, model_cfg: ModelConfig, train_cfg: TrainConfig):
     return source_loader, target_loader, val_loader, n_src, n_tgt
 
 
+def _start_async_fetch(metrics) -> None:
+    """Begin device->host copies for a metrics pytree without blocking;
+    a later device_get becomes a local read (tunnel-latency hiding)."""
+    for leaf in jax.tree_util.tree_leaves(metrics):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+
+
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, da_cfg: DAConfig,
                  train_cfg: TrainConfig, source_loader: TSNLoader,
@@ -304,13 +312,26 @@ class Trainer:
         pending = []  # unmaterialized device metrics: sync only at print
         attn_src_epoch, attn_tgt_epoch = [], []
 
-        def flush():
-            if not pending:
+        def flush(keep_last: int = 0):
+            """Materialize pending metrics into the meters.
+
+            keep_last=1 leaves the newest chunk unmaterialized: its
+            execution is still in flight, and blocking on it would
+            serialize the dispatch pipeline on this ~39 ms-roundtrip
+            tunnel.  Chunk producers start copy_to_host_async at dispatch
+            so older chunks' device_get is a cheap local read.  Printed
+            'val' columns therefore lag one chunk (<= K steps) behind the
+            header step — logging-only divergence, meter averages are
+            exact (documented in PARITY.md)."""
+            if meters["loss"].count == 0:
+                keep_last = 0  # first print of the epoch: block once so
+                # the line shows real values instead of zeros
+            if len(pending) <= keep_last:
                 return
-            # ONE host transfer for all pending metrics (per-scalar float()
-            # calls would each be a blocking device roundtrip)
-            host = jax.device_get(pending)
-            pending.clear()
+            take, keep = pending[:len(pending) - keep_last], \
+                pending[len(pending) - keep_last:]
+            host = jax.device_get(take)
+            pending[:] = keep
             rows = []
             for item in host:
                 if isinstance(item, tuple) and item[0] == "stacked":
@@ -382,6 +403,7 @@ class Trainer:
             self.state, m = self.train_step(self.state, *args, scalars,
                                             self.rng)
             pending.append(m)
+            _start_async_fetch(m)
 
             if profiling and i == 7:
                 jax.block_until_ready(m["loss"])
@@ -411,7 +433,7 @@ class Trainer:
             end = time.time()
 
             if i % self.print_freq == 0:
-                flush()
+                flush(keep_last=2)
                 last_line = self._format_train_line(
                     epoch, i, len_loader, meters, alpha, beta, tc)
                 if i % self.show_freq == 0:
@@ -481,11 +503,12 @@ class Trainer:
                 sc, self.rng)
             # keep the stacked dict; split per step lazily at flush time
             pending.append(("stacked", m, k))
+            _start_async_fetch(m)
             meters["batch_time"].update((time.time() - end) / k, k)
             end = time.time()
             i += k
             if (i - k) // K % max(self.print_freq // K, 1) == 0:
-                flush()
+                flush(keep_last=2)
                 last_line = self._format_train_line(
                     epoch, i - 1, len_loader, meters, alpha, betas[-1], tc)
                 if self.logs:
@@ -553,11 +576,12 @@ class Trainer:
                 self.state, self._dev_store_s, self._dev_store_t, sc,
                 self.rng)
             pending.append(("stacked", m, k))
+            _start_async_fetch(m)
             meters["batch_time"].update((time.time() - end) / k, k)
             end = time.time()
             i += k
             if (i - k) // K % max(self.print_freq // K, 1) == 0:
-                flush()
+                flush(keep_last=2)
                 last_line = self._format_train_line(
                     epoch, i - 1, spe, meters, alpha, betas[-1], tc)
                 if self.logs:
