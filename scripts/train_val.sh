@@ -87,7 +87,7 @@ if ($training); then
         --lr_steps 10 20 --epochs $epochs --optimizer $optimizer \
         --n_rnn 1 --rnn_cell LSTM --n_directions 1 --n_ts 5 \
         -b $bS $bS_2 $bS -ef 1 -pf 50 -sf 50 --copy_list N N \
-        --device_store --save_model
+        --device_store --steps_per_call 8 --device_sampler --save_model
 fi
 
 if ($testing); then
