@@ -88,6 +88,35 @@ def test_random_mode_bounds_and_alignment():
             np.testing.assert_array_equal(chunk, np.arange(SEG))
 
 
+def test_flow_new_length_parity_with_host():
+    """Flow-style 2-stream store + new_length=5: the device sampler's
+    index batches and the gathered rows must match the host path."""
+    import jax.numpy as jnp
+    from ta3n_tpu.data.feature_store import FeatureStore
+    from ta3n_tpu.train.step import device_gather
+    rng = np.random.default_rng(7)
+    feats, paths, labels = [], [], []
+    for v in range(9):
+        n = int(rng.integers(6, 30))
+        feats.append(rng.normal(size=(n, 2, 8)).astype(np.float32))
+        paths.append(f"v{v}")
+        labels.append(int(rng.integers(0, 3)))
+    store = FeatureStore.from_arrays(feats, paths, labels)
+
+    host = TSNLoader(store, batch_size=4, num_segments=SEG, new_length=5,
+                     mode="test", shuffle=False)
+    dev = DeviceSampler(TSNLoader(store, batch_size=4, num_segments=SEG,
+                                  new_length=5, mode="test",
+                                  shuffle=False), seed=0)
+    dev_store = jnp.asarray(store.features)
+    for step, hb in enumerate(host.epoch()):
+        idx, lab, mask = dev.batch(jnp.asarray(step))
+        x = device_gather(dev_store, idx)
+        x = np.asarray(x) * np.asarray(mask)[:, None, None]
+        np.testing.assert_allclose(x, hb.features, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(lab), hb.labels)
+
+
 def test_sampled_multi_step_matches_host_stacked():
     src, tgt, _ = make_domain_pair(num_source=24, num_target=18, num_val=8,
                                    num_class=3, feature_dim=FDIM)
