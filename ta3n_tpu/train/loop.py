@@ -238,6 +238,18 @@ class Trainer:
                 self.model, da_cfg, train_cfg, self._sampler_s,
                 self._sampler_t, cw, dw, mesh=self.mesh)
 
+        # whole-epoch batched validation: one dispatch + one 4-scalar
+        # fetch instead of per-batch dispatch+device_get (resident
+        # device-store mode; tensorboard needs per-batch features)
+        self.multi_eval_step = None
+        self._val_stack = None
+        if (device_store and not self.streaming and not self.tb.active
+                and not val_loader.shuffle):  # cached stack needs a
+            # deterministic val epoch (build_loaders uses shuffle=False)
+            from ta3n_tpu.train.step import make_multi_eval_step
+            self.multi_eval_step = make_multi_eval_step(self.model, cw,
+                                                        mesh=self.mesh)
+
         self.lr_current = train_cfg.lr
         self.best_prec1 = 0.0
         self.start_epoch = 1
@@ -620,6 +632,31 @@ class Trainer:
 
     # ---- validation (main.py:669-761) ----
     def validate(self, epoch: int) -> float:
+        if self.multi_eval_step is not None:
+            # deterministic val loader: the stacked index batches are
+            # identical every epoch — built once, then each validation
+            # is one dispatch + one 4-scalar fetch
+            if self._val_stack is None:
+                bs = list(self.val_loader.index_epoch())
+                self._val_stack = (
+                    np.stack([b.abs_indices for b in bs]),
+                    np.stack([b.labels for b in bs]),
+                    np.stack([b.mask for b in bs]))
+            idx, ys, mk = self._val_stack
+            r = jax.device_get(self.multi_eval_step(
+                self.state.params, self.state.batch_stats,
+                self._dev_store_v, idx, ys, mk))
+            n = max(float(r["n"]), 1.0)
+            top1 = 100.0 * float(r["top1"]) / n
+            top5 = 100.0 * float(r["top5"]) / n
+            loss = float(r["loss_sum"]) / n
+            line = (f"Testing Results: Prec@1 {top1:.3f} "
+                    f"Prec@5 {top5:.3f} Loss {loss:.5f}")
+            print(line)
+            if self.logs:
+                self.logs.write("val.log", line)
+            return top1
+
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
         feat_val, label_val = [], []
         if self.streaming:

@@ -643,6 +643,60 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
     return multi_step
 
 
+def make_multi_eval_step(model: VideoModel,
+                         class_weights: Optional[jnp.ndarray] = None,
+                         mesh=None, axis_name: str = "data"):
+    """Whole-validation-epoch eval in ONE dispatch (device-store mode).
+
+    Scans the eval step over stacked index batches and reduces the
+    metrics on device, so a validation pass costs one call + one
+    4-scalar fetch instead of one dispatch + one device_get per batch
+    (the reference's validate loop, main.py:669-761, synchronizes per
+    batch).  Weighted sums match AverageMeter.update(value, n)
+    accumulation exactly.
+
+    Signature: ev(params, batch_stats, store, idx [Nb,B,T], ys [Nb,B],
+                  mask [Nb,B]) -> {"loss_sum", "top1", "top5", "n"}
+    """
+    cfg = model.cfg
+    use_bn = cfg.use_bn != "none"
+
+    jit_kwargs = {}
+    if mesh is not None:
+        rep, _, kdata = _mesh_shardings(mesh, axis_name)
+        jit_kwargs = dict(
+            in_shardings=(rep, rep, rep, kdata, kdata, kdata),
+            out_shardings=rep)
+
+    @partial(jax.jit, **jit_kwargs)
+    def multi_eval(params, batch_stats, store, idx, ys, mask):
+        variables = {"params": params}
+        if use_bn:
+            variables["batch_stats"] = batch_stats
+
+        def body(acc, per):
+            i, y, m = per
+            x = device_gather(store, i)
+            x = x * m[:, None, None].astype(x.dtype)
+            _, out_t = model.apply(variables, x, x, jnp.zeros(3),
+                                   jnp.asarray(0.0), False, False)
+            o, lab, mm = _flatten_out(out_t.out, y, m, cfg.baseline_type)
+            loss = weighted_cross_entropy(o, lab, class_weights, mm)
+            n = jnp.sum(mm)
+            acc = (acc[0] + loss * n,
+                   acc[1] + topk_correct(o, lab, mm, 1),
+                   acc[2] + topk_correct(o, lab, mm, 5),
+                   acc[3] + n)
+            return acc, None
+
+        zero = jnp.asarray(0.0)
+        (loss_sum, top1, top5, n), _ = jax.lax.scan(
+            body, (zero, zero, zero, zero), (idx, ys, mask))
+        return {"loss_sum": loss_sum, "top1": top1, "top5": top5, "n": n}
+
+    return multi_eval
+
+
 def make_eval_step(model: VideoModel,
                    class_weights: Optional[jnp.ndarray] = None,
                    gather_on_device: bool = False,

@@ -162,6 +162,34 @@ def test_trainer_bf16_store_end_to_end(tmp_path):
     assert best >= 0.0
 
 
+def test_batched_validation_matches_per_batch(tmp_path):
+    """The one-dispatch whole-epoch validation must reproduce the
+    per-batch eval loop's weighted metrics."""
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=14, num_class=3,
+                                     feature_dim=FDIM, shift=0.8)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.1, dropout_v=0.1)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.05, epochs=1, batch_size=(8, 6, 8),
+                     beta=(0.5, 0.5, 0.5))
+    ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test", seed=1)
+    lt = TSNLoader(tgt, batch_size=6, num_segments=SEG, mode="test", seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, path_exp=str(tmp_path) + "/",
+                 use_mesh=True, device_store=True, eval_freq=1,
+                 print_freq=100, show_freq=100)
+    assert tr.multi_eval_step is not None
+    tr.train_epoch(1)
+    fast = tr.validate(1)
+    tr.multi_eval_step = None  # force the per-batch path on same state
+    slow = tr.validate(1)
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-4)
+
+
 def test_eval_step_device_store():
     src, _, _ = make_domain_pair(num_source=12, num_target=8, num_val=8,
                                  num_class=3, feature_dim=FDIM)
