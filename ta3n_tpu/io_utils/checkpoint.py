@@ -23,7 +23,7 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 
 _CKPT_NAME = "checkpoint"
 _BEST_NAME = "model_best"
-_META_KEYS = ("epoch", "arch", "best_prec1", "prec1")
+_META_KEYS = ("epoch", "arch", "best_prec1", "prec1", "step")
 
 
 def save_checkpoint(path_exp: str, payload: Dict[str, Any],

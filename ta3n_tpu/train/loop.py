@@ -266,6 +266,7 @@ class Trainer:
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
             "best_prec1": 0.0, "prec1": 0.0,
+            "step": 0,
         })
         self.state = self.state._replace(
             params=payload["params"], batch_stats=payload["batch_stats"])
@@ -273,6 +274,16 @@ class Trainer:
             self.state = self.state._replace(opt_state=payload["opt_state"])
         self.start_epoch = int(payload["epoch"]) + 1
         self.best_prec1 = float(payload["best_prec1"])
+        # restore the step counter: it drives the on-device dropout-rng
+        # fold and the device sampler's epoch/permutation derivation, so
+        # a resumed run continues the exact same streams.  Checkpoints
+        # from before this field was saved derive it from the epoch.
+        step = int(payload.get("step", 0))
+        if step == 0 and self.start_epoch > 1:
+            spe = min(len(self.source_loader), len(self.target_loader))
+            step = (self.start_epoch - 1) * spe
+        self.state = self.state._replace(
+            step=jnp.asarray(step, jnp.int32))
         return self.start_epoch
 
     def save(self, epoch: int, prec1: float, is_best: bool):
@@ -284,6 +295,7 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "best_prec1": self.best_prec1,
             "prec1": prec1,
+            "step": int(self.state.step),
         }, is_best)
 
     # ---- one epoch (main.py:309-667) ----

@@ -170,6 +170,42 @@ def test_sampled_multi_step_matches_host_stacked():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_resume_restores_step_counter(tmp_path):
+    """The step counter drives the dropout fold and the device sampler's
+    epoch derivation; resume must continue it, not restart at 0."""
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=12, num_class=3,
+                                     feature_dim=FDIM, shift=0.8)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      use_attn="none", dropout_i=0.1, dropout_v=0.1)
+    da = DAConfig(use_target="none")
+    tc = TrainConfig(lr=0.05, epochs=2, batch_size=(8, 6, 8))
+
+    def make_trainer():
+        ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test",
+                       seed=1)
+        lt = TSNLoader(tgt, batch_size=6, num_segments=SEG, mode="test",
+                       seed=2)
+        lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                       shuffle=False)
+        return Trainer(cfg, da, tc, ls, lt, lv,
+                       path_exp=str(tmp_path) + "/", use_mesh=False,
+                       device_store=True, steps_per_call=2,
+                       device_sampler=True, eval_freq=1, print_freq=100,
+                       show_freq=100, save_model=True)
+
+    tr = make_trainer()
+    tr.fit()
+    saved_step = int(tr.state.step)
+    assert saved_step > 0
+
+    tr2 = make_trainer()
+    tr2.resume(str(tmp_path) + "/checkpoint", resume_hp=True)
+    assert int(tr2.state.step) == saved_step
+
+
 def test_trainer_device_sampler_end_to_end(tmp_path):
     src, tgt, val = make_domain_pair(num_source=24, num_target=18,
                                      num_val=12, num_class=3,
