@@ -170,6 +170,50 @@ def test_sampled_multi_step_matches_host_stacked():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_sampled_step_mesh_matches_single_device():
+    """8-device mesh == 1-device parameters for the device-sampled
+    K-step program (the test_sharding.py standard for new modes)."""
+    from ta3n_tpu.parallel import make_mesh
+    src, tgt, _ = make_domain_pair(num_source=24, num_target=16, num_val=8,
+                                   num_class=3, feature_dim=FDIM)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(8, 8, 8))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    K = 2
+    store_s = jnp.asarray(np.ascontiguousarray(src.features))
+    store_t = jnp.asarray(np.ascontiguousarray(tgt.features))
+    sc = StepScalars(np.tile(np.float32([0.5, 0.5, 0.5]), (K, 1)),
+                     np.zeros(K, np.float32), np.zeros(K, np.float32),
+                     np.zeros(K, np.float32), np.full(K, 0.1, np.float32))
+
+    def run(mesh):
+        samp_s = DeviceSampler(_loader(src, bs=8), seed=0)
+        samp_t = DeviceSampler(_loader(tgt, bs=8), seed=0)
+        spe = min(samp_s.steps_per_epoch, samp_t.steps_per_epoch)
+        samp_s.steps_per_epoch = samp_t.steps_per_epoch = spe
+        step = make_sampled_multi_step(model, da, tc, samp_s, samp_t,
+                                       mesh=mesh)
+        st = create_train_state(model, rng, 8, 8, tc)
+        for _ in range(3):
+            st, m = step(st, store_s, store_t, sc, rng)
+        return st, m
+
+    st1, m1 = run(None)
+    st8, m8 = run(make_mesh(jax.devices()))
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_resume_restores_step_counter(tmp_path):
     """The step counter drives the dropout fold and the device sampler's
     epoch derivation; resume must continue it, not restart at 0."""
