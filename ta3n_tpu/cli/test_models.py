@@ -146,11 +146,22 @@ def main(argv=None):
     if args.device_store:
         from ta3n_tpu.train.step import device_gather
 
-        @jax.jit
-        def infer_idx(store_dev, idx, mask):
+        def infer_idx_raw(store_dev, idx, mask):
             x = device_gather(store_dev, idx)
             x = x * mask[:, None, None].astype(x.dtype)
             return _infer(x)
+
+        infer_idx = jax.jit(infer_idx_raw)
+
+        @jax.jit
+        def infer_all(store_dev, idx, mask):
+            # whole test set scanned in ONE dispatch; per-batch outputs
+            # stacked and fetched once (per-batch device_get costs one
+            # ~40 ms tunnel roundtrip each)
+            def body(carry, per):
+                i, m = per
+                return carry, infer_idx_raw(store_dev, i, m)
+            return jax.lax.scan(body, None, (idx, mask))[1]
 
         s_dtype = (jnp.dtype(args.store_dtype)
                    if args.store_dtype != 'float32' else None)
@@ -175,24 +186,36 @@ def main(argv=None):
         batches = loader.index_epoch()
     else:
         batches = loader.epoch()
-    for b in prefetch(batches):
-        if streaming:
-            sid, b = b
-            res = infer_idx(stream.get(sid), b.abs_indices,
-                            jnp.asarray(b.mask))
-        elif args.device_store:
-            res = infer_idx(store_dev, b.abs_indices, jnp.asarray(b.mask))
-        else:
-            res = infer(b.features)
-        probs, top_p, top_i, attn = jax.device_get(res)
+    def accumulate(b, probs, top_i, attn):
+        nonlocal count
         n_real = int(b.mask.sum())
         all_scores.append(probs[:n_real])
         all_topk.append(top_i[:n_real])
         all_labels.append(np.asarray(b.labels)[:n_real])
         all_attn.append(np.asarray(attn)[:n_real].reshape(n_real, -1))
         count += n_real
-        if args.max_num > 0 and count >= args.max_num:
-            break
+        return args.max_num > 0 and count >= args.max_num
+
+    if args.device_store and not streaming:
+        bs_all = list(batches)
+        probs_a, _, top_i_a, attn_a = jax.device_get(infer_all(
+            store_dev,
+            jnp.asarray(np.stack([b.abs_indices for b in bs_all])),
+            jnp.asarray(np.stack([b.mask for b in bs_all]))))
+        for bi, b in enumerate(bs_all):
+            if accumulate(b, probs_a[bi], top_i_a[bi], attn_a[bi]):
+                break
+    else:
+        for b in prefetch(batches):
+            if streaming:
+                sid, b = b
+                res = infer_idx(stream.get(sid), b.abs_indices,
+                                jnp.asarray(b.mask))
+            else:
+                res = infer(b.features)
+            probs, top_p, top_i, attn = jax.device_get(res)
+            if accumulate(b, probs, top_i, attn):
+                break
 
     scores = np.concatenate(all_scores)
     topk = np.concatenate(all_topk)
