@@ -74,6 +74,18 @@ class Predictor:
         n = features.shape[0]
         b = self.batch_size
         probs, tps, tis = [], [], []
+
+        def materialize(item):
+            (p, tp, ti), real = jax.device_get(item[0]), item[1]
+            probs.append(p[:real])
+            tps.append(tp[:real])
+            tis.append(ti[:real])
+
+        # pipelined: dispatch chunk i+1 and start its async host copies
+        # BEFORE blocking on chunk i, so fetch latency overlaps compute
+        # (one transfer per chunk either way; per-array reads would each
+        # be a blocking device roundtrip)
+        in_flight = None
         for lo in range(0, n, b):
             chunk = np.asarray(features[lo:lo + b], np.float32)
             real = chunk.shape[0]
@@ -81,12 +93,15 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((b - real,) + chunk.shape[1:],
                                      np.float32)])
-            # one host transfer for all three outputs (per-array reads are
-            # each a blocking device roundtrip)
-            p, tp, ti = jax.device_get(self._predict(chunk))
-            probs.append(p[:real])
-            tps.append(tp[:real])
-            tis.append(ti[:real])
+            res = self._predict(chunk)
+            for arr in res:
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            if in_flight is not None:
+                materialize(in_flight)
+            in_flight = (res, real)
+        if in_flight is not None:
+            materialize(in_flight)
         return (np.concatenate(probs), np.concatenate(tps),
                 np.concatenate(tis))
 
