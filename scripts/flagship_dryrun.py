@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--steps_per_call", type=int, default=1)
     ap.add_argument("--device_sampler", action="store_true",
                     help="index pipeline on device (no host sampling)")
+    ap.add_argument("--store_dtype", default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="HBM store dtype (device_store only)")
     ap.add_argument("--compilation_cache", type=str, default=None,
                     help="persistent XLA compile cache dir (isolates "
                          "steady-state wall clock from compile time)")
@@ -71,7 +74,8 @@ def main():
                       save_model=True, use_mesh=False,
                       device_store=args.device_store,
                       steps_per_call=args.steps_per_call,
-                      device_sampler=args.device_sampler)
+                      device_sampler=args.device_sampler,
+                      store_dtype=args.store_dtype)
     t0 = time.time()
     best = trainer.fit()
     dt = time.time() - t0
