@@ -47,8 +47,13 @@ jax.config.update("jax_default_prng_impl", "rbg")
 
 REFERENCE_V100_VPS = 5000.0
 
-BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12
 import os
+
+# batch/dtype knobs for off-recipe sweeps (defaults = published config)
+BS = int(os.environ.get("TA3N_BENCH_BS", 128))
+BT = int(os.environ.get("TA3N_BENCH_BT", 74))
+COMPUTE_DTYPE = os.environ.get("TA3N_BENCH_DTYPE", "float32")
+SEG, FDIM, NCLASS = 5, 2048, 12
 # K=16 re-measured best in round 2 (3-run means: K=16 554k vs K=8 485k
 # videos/s; r1 sweep had K=8 ahead — the tunnel's dispatch cost drifts
 # between sessions, so this stays an env knob)
@@ -86,7 +91,8 @@ def main():
     cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
                       frame_aggregation="trn-m", train_segments=SEG,
                       val_segments=SEG, fc_dim=512, feature_dim=FDIM,
-                      use_attn="TransAttn", dropout_i=0.5, dropout_v=0.5)
+                      use_attn="TransAttn", dropout_i=0.5, dropout_v=0.5,
+                      compute_dtype=COMPUTE_DTYPE)
     da = DAConfig(use_target="uSv", adv_DA="RevGrad",
                   add_loss_DA="attentive_entropy",
                   place_adv=("Y", "Y", "Y"))
