@@ -37,16 +37,31 @@ def run_one(seed: int, use_da: bool, args) -> float:
                       val_segments=SEG, fc_dim=args.fc_dim,
                       feature_dim=FDIM, use_attn="TransAttn",
                       dropout_i=args.dropout, dropout_v=args.dropout,
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype,
+                      use_bn=("AdaBN" if use_da
+                              and args.da_variant == "adabn" else "none"),
+                      ens_DA=("MCD" if use_da
+                              and args.da_variant == "mcd" else "none"))
     if use_da:
-        da = DAConfig(use_target="uSv", adv_DA="RevGrad",
-                      add_loss_DA="attentive_entropy",
-                      place_adv=("Y", "Y", "Y"))
+        if args.da_variant == "full":
+            da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                          add_loss_DA="attentive_entropy",
+                          place_adv=("Y", "Y", "Y"))
+        elif args.da_variant == "dan":
+            da = DAConfig(use_target="uSv", dis_DA="DAN",
+                          place_dis=("N", "Y", "N"))
+        elif args.da_variant == "mcd":
+            da = DAConfig(use_target="uSv", ens_DA="MCD")
+        elif args.da_variant == "adabn":  # AdaBN via ModelConfig.use_bn
+            da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                          place_adv=("Y", "Y", "Y"))
+        else:
+            raise ValueError(args.da_variant)
     else:
         da = DAConfig(use_target="none")
     tc = TrainConfig(lr=args.lr, epochs=args.epochs,
                      batch_size=(16, 16, 16),
-                     beta=tuple(args.beta), gamma=args.gamma,
+                     beta=tuple(args.beta), gamma=args.gamma, mu=args.mu,
                      lr_adaptive="dann" if args.dann_lr else "none")
     ls = TSNLoader(src, batch_size=16, num_segments=SEG, mode="test",
                    seed=seed + 1)
@@ -70,6 +85,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=0.03)
     ap.add_argument("--gamma", type=float, default=0.003)
+    ap.add_argument("--mu", type=float, default=0.0,
+                    help="MCD reverse-GRL strength (reference default 0; "
+                         "MCD needs > 0 to act)")
     ap.add_argument("--dropout", type=float, default=0.2)
     ap.add_argument("--fix_task", action="store_true",
                     help="same task geometry for every seed")
@@ -80,6 +98,11 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="accuracy A/B for the bf16 compute path "
                          "(ROADMAP #5)")
+    ap.add_argument("--da_variant", default="full",
+                    choices=["full", "dan", "mcd", "adabn"],
+                    help="which DA mechanism the 'full_ta3n' arm uses "
+                         "(VERDICT r1 #4: variants must not regress "
+                         "vs source-only)")
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     args = ap.parse_args()

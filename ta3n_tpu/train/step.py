@@ -248,6 +248,13 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     use_bn = cfg.use_bn != "none"
     use_tgt = da.use_target != "none"
     mcd = da.ens_DA == "MCD" and use_tgt
+    if mcd and cfg.ens_DA != "MCD":
+        # without the model-side second classifier, out_2 == out and the
+        # MCD discrepancy silently trains nothing (caught in the wild:
+        # a config set only DAConfig.ens_DA)
+        raise ValueError("DAConfig.ens_DA='MCD' requires "
+                         "ModelConfig.ens_DA='MCD' (the second video "
+                         "classifier lives in the model)")
 
     def loss_fn(params, batch_stats, xs, ys, mask_s, xt, yt, mask_t,
                 scalars: StepScalars, rng):
