@@ -115,6 +115,20 @@ def test_mcd_config():
     assert np.isfinite(losses).all()
 
 
+def test_mcd_without_model_side_classifier_raises():
+    """DAConfig.ens_DA='MCD' with a model lacking the second classifier
+    would silently train an inert MCD (out_2 == out); hard error."""
+    import pytest
+    from ta3n_tpu.models import VideoModel
+    from ta3n_tpu.train.step import make_train_step
+    from ta3n_tpu.config import TrainConfig
+    cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
+                      use_attn="none", **BASE)  # ens_DA defaults 'none'
+    da = DAConfig(use_target="uSv", ens_DA="MCD")
+    with pytest.raises(ValueError, match="ens_DA"):
+        make_train_step(VideoModel(cfg), da, TrainConfig())
+
+
 def test_sv_supervised_target():
     cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
                       use_attn="none", **BASE)
