@@ -15,10 +15,15 @@ trace into the scan body — the only per-call host traffic left is the
 schedule scalars.
 
 Sampling parity note: deterministic modes ('val'/'test') produce
-BITWISE the host loader's indices (tested).  'random' mode draws from
-a counter-keyed PRNG instead of the host's sequential numpy Generator —
-same distribution (chunk-aligned offsets, sorted fallback), different
-stream; runs are deterministic given the seed.
+BITWISE the host loader's indices — guaranteed by construction: their
+per-record frame indices are precomputed on the host with the actual
+host samplers and gathered on device (an on-device integer re-derivation
+of the float64 central formula diverges for some (segments, num_frames)
+pairs, e.g. S=7 nf=12 — caught in review, regression-tested at S=7).
+'random' mode draws from a counter-keyed PRNG instead of the host's
+sequential numpy Generator — same distribution (chunk-aligned offsets,
+sorted fallback), different stream; runs are deterministic given the
+seed.
 """
 
 from __future__ import annotations
@@ -59,6 +64,22 @@ class DeviceSampler:
         self.shuffle = loader.shuffle
         key = jax.random.PRNGKey(seed)
         self._perm_key, self._samp_key = jax.random.split(key)
+        # deterministic modes: precompute each record's frame indices ON
+        # THE HOST with the actual host sampler — bitwise parity by
+        # construction (an integer re-derivation of the float64 central
+        # formula diverges for some (segments, num_frames) pairs, e.g.
+        # S=7, nf=12), and batch() reduces to one row gather
+        self._det_frames = None
+        if self.mode in ("val", "test"):
+            from ta3n_tpu.data.samplers import (expand_new_length,
+                                                sample_indices_test,
+                                                sample_indices_val)
+            nf_host = np.asarray(loader.num_frames)
+            sampler = (sample_indices_val if self.mode == "val"
+                       else sample_indices_test)
+            starts = sampler(nf_host, self.num_segments, self.new_length)
+            frames = expand_new_length(starts, nf_host, self.new_length)
+            self._det_frames = jnp.asarray(frames, jnp.int32)  # [N, T]
 
     def epoch_order(self, epoch: jax.Array) -> jax.Array:
         """Record visit order for one epoch ([n] int32).  A permutation
@@ -88,8 +109,12 @@ class DeviceSampler:
 
         fields = self._fields[sel]  # one row gather for all three fields
         offs, nf, labels = fields[:, 0], fields[:, 1], fields[:, 2]
-        starts = self._sample(nf, jax.random.fold_in(self._samp_key, step))
-        frames = self._expand_new_length(starts, nf)
+        if self._det_frames is not None:  # val/test: host-precomputed
+            frames = self._det_frames[sel]
+        else:
+            starts = self._sample(nf,
+                                  jax.random.fold_in(self._samp_key, step))
+            frames = self._expand_new_length(starts, nf)
         abs_idx = (offs[:, None] + frames).astype(jnp.int32)
         mask = valid.astype(jnp.float32)
         abs_idx = jnp.where(valid[:, None], abs_idx, 0)  # masked rows: row 0
@@ -113,21 +138,12 @@ class DeviceSampler:
             return jnp.where((avg > 0)[:, None], case1,
                              jnp.where((nf > s)[:, None], case2, zeros)
                              ).astype(jnp.int32)
-        num_min = s + l - 1
-        num_select = nf - l + 1
-        # tick/2 + tick*x with tick = num_select/s, floored — computed in
-        # exact integer arithmetic: floor(num_select*(2x+1) / (2s)),
-        # identical to the host's float64 result for all realistic sizes
-        x = jnp.arange(s, dtype=jnp.int32)[None, :]
-        central = (num_select[:, None] * (2 * x + 1)) // (2 * s)
-        if self.mode == "val":     # dataset.py:92-101
-            return jnp.where((nf >= num_min)[:, None], central, 0)
-        if self.mode == "test":    # dataset.py:103-116 short-video branch
-            ns = jnp.maximum(num_select, 1)
-            short = jnp.minimum(jnp.arange(s)[None, :], ns[:, None] - 1)
-            return jnp.where((nf >= num_min)[:, None], central,
-                             short.astype(jnp.int32))
-        raise ValueError(f"unknown mode {self.mode}")
+        # val/test never reach here: their (deterministic) indices are
+        # host-precomputed in __init__ for bitwise parity — the float64
+        # central formula is not reproducible in device integer math for
+        # every (segments, num_frames) pair
+        raise ValueError(f"unsupported on-device sampling mode "
+                         f"{self.mode}")
 
     def _expand_new_length(self, starts: jax.Array, nf: jax.Array
                            ) -> jax.Array:

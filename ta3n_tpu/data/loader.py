@@ -209,31 +209,69 @@ def device_prefetch(iterator: Iterator, sharding=None,
         yield queue.popleft()
 
 
+def _prefetch_produce(iterator, q, cancel, sentinel):
+    def put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    try:
+        for item in iterator:
+            if not put(item):
+                return
+    finally:
+        put(sentinel)
+
+
+class _Prefetcher:
+    """Cancellable background-thread prefetch iterator.
+
+    Abandoning the iterator mid-epoch (e.g. ``zip`` stopping at the
+    shorter of two loaders — reference zip-shortest, main.py:330) used
+    to leave the producer thread blocked forever on a full queue, one
+    leaked thread + buffered batches per epoch; the producer now polls
+    a cancellation flag and exits when the consumer is closed or
+    garbage-collected."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator: Iterator, depth: int):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._cancel = threading.Event()
+        # the thread must NOT reference self (a bound method would keep
+        # the wrapper alive forever, so abandonment could never GC it)
+        self._thread = threading.Thread(
+            target=_prefetch_produce,
+            args=(iterator, self._q, self._cancel, self._SENTINEL),
+            daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            self._cancel.set()
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._cancel.set()
+
+    __del__ = close
+
+
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch (replaces torch worker processes).
 
     The producer thread starts EAGERLY (at call time, not first next()),
     so the first batches are already being gathered while the caller
-    compiles/sets up.
+    compiles/sets up.  The returned iterator is cancellable: closing or
+    abandoning it stops the producer thread.
     """
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    sentinel = object()
-
-    def producer():
-        try:
-            for item in iterator:
-                q.put(item)
-        finally:
-            q.put(sentinel)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-
-    def consume():
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            yield item
-
-    return consume()
+    return _Prefetcher(iterator, depth)

@@ -24,7 +24,7 @@ from ta3n_tpu.models import VideoModel
 from ta3n_tpu.parallel import make_mesh
 from ta3n_tpu.train.schedules import (alpha_schedule, dann_lr,
                                       effective_beta, loss_plateau_lr,
-                                      progress)
+                                      progress, step_decay_lr)
 from ta3n_tpu.train.step import (StepScalars, create_train_state,
                                  make_eval_step, make_train_step)
 
@@ -33,14 +33,24 @@ __all__ = ["Trainer", "build_loaders", "class_weights_from_list"]
 
 def class_weights_from_list(list_file: str, num_class: int,
                             enabled: bool) -> Optional[np.ndarray]:
-    """Inverse-frequency class weights (main.py:155-164)."""
+    """Inverse-frequency class weights (main.py:155-164).
+
+    Divergence (fixed, not replicated): the reference builds the vector
+    from np.unique's PRESENT classes only, so a class absent from the
+    list misaligns every later class's weight.  Here the vector always
+    has ``num_class`` entries; absent classes get weight 1.0 (they never
+    appear in the loss, the value only keeps shapes static)."""
     if not enabled:
         return None
     labels = [int(line.strip().split(' ')[2]) for line in open(list_file)
               if line.strip()]
-    _, counts = np.unique(np.array(labels), return_counts=True)
+    counts = np.bincount(np.asarray(labels, np.int64),
+                         minlength=num_class).astype(np.float64)
     freq = counts / counts.sum()
-    return (1.0 / freq).astype(np.float32)
+    weights = np.ones(num_class, np.float64)
+    present = counts > 0
+    weights[present] = 1.0 / freq[present]
+    return weights.astype(np.float32)
 
 
 def build_loaders(args, model_cfg: ModelConfig, train_cfg: TrainConfig):
@@ -485,6 +495,36 @@ class Trainer:
             self.logs.write("train_short.log", last_line)
         return meters["loss_c"].avg
 
+    def _maybe_profile_chunk(self, epoch, n_chunks) -> bool:
+        """--profile_dir window for the K-step paths: trace the SECOND
+        chunk of the first epoch (the first chunk compiles).  The
+        single-step path has its own steps-2..7 window."""
+        if (self.profile_dir and epoch == self.start_epoch
+                and n_chunks == 1):
+            jax.profiler.start_trace(self.profile_dir)
+            return True
+        return False
+
+    def _chunk_scalars(self, i, k, alpha, start_steps, total_steps):
+        """Per-step schedule values for steps [i, i+k) stacked for one
+        scan dispatch (shared by the host-fed and device-sampled K-step
+        paths so a schedule fix cannot diverge them)."""
+        tc = self.train_cfg
+        betas, lrs = [], []
+        for j in range(k):
+            p = progress(i + j, start_steps, total_steps)
+            betas.append(effective_beta(tc.beta, p))
+            lrs.append(self.lr_current)
+            if tc.lr_adaptive == "dann":  # main.py:619-621
+                self.lr_current = dann_lr(tc.lr, p)
+        sc = StepScalars(
+            np.asarray(betas, np.float32),
+            np.full(k, tc.mu, np.float32),
+            np.full(k, alpha, np.float32),
+            np.full(k, tc.gamma, np.float32),
+            np.asarray(lrs, np.float32))
+        return sc, betas
+
     def _train_epoch_multi(self, epoch, meters, pairs, flush, pending,
                            alpha, start_steps, total_steps, len_loader):
         """K-steps-per-dispatch epoch (device-store mode): stack K index
@@ -495,25 +535,16 @@ class Trainer:
         last_line = ""
         chunk = []
         i = 0
+        n_chunks = 0
 
         def run_chunk(chunk, store_s=None, store_t=None):
-            nonlocal last_line, end, i
+            nonlocal last_line, end, i, n_chunks
             if store_s is None:
                 store_s, store_t = self._dev_store_s, self._dev_store_t
             k = len(chunk)
-            betas, lrs = [], []
-            for j in range(k):
-                p = progress(i + j, start_steps, total_steps)
-                betas.append(effective_beta(tc.beta, p))
-                lrs.append(self.lr_current)
-                if tc.lr_adaptive == "dann":  # main.py:619-621
-                    self.lr_current = dann_lr(tc.lr, p)
-            sc = StepScalars(
-                np.asarray(betas, np.float32),
-                np.full(k, tc.mu, np.float32),
-                np.full(k, alpha, np.float32),
-                np.full(k, tc.gamma, np.float32),
-                np.asarray(lrs, np.float32))
+            sc, betas = self._chunk_scalars(i, k, alpha, start_steps,
+                                            total_steps)
+            profiling = self._maybe_profile_chunk(epoch, n_chunks)
             stack = lambda xs: np.stack(xs)  # host stack; jit places/shards
             bs_list, bt_list = zip(*chunk)
             self.state, m = self.multi_step(
@@ -527,10 +558,14 @@ class Trainer:
                 sc, self.rng)
             # keep the stacked dict; split per step lazily at flush time
             pending.append(("stacked", m, k))
+            if profiling:
+                jax.device_get(m["loss"])  # force execution in-window
+                jax.profiler.stop_trace()
             _start_async_fetch(m)
             meters["batch_time"].update((time.time() - end) / k, k)
             end = time.time()
             i += k
+            n_chunks += 1
             if (i - k) // K % max(self.print_freq // K, 1) == 0:
                 flush(keep_last=2)
                 last_line = self._format_train_line(
@@ -581,29 +616,24 @@ class Trainer:
         end = time.time()
         last_line = ""
         i = 0
+        n_chunks = 0
         while i < spe:
             k = min(K, spe - i)
-            betas, lrs = [], []
-            for j in range(k):
-                p = progress(i + j, start_steps, total_steps)
-                betas.append(effective_beta(tc.beta, p))
-                lrs.append(self.lr_current)
-                if tc.lr_adaptive == "dann":  # main.py:619-621
-                    self.lr_current = dann_lr(tc.lr, p)
-            sc = StepScalars(
-                np.asarray(betas, np.float32),
-                np.full(k, tc.mu, np.float32),
-                np.full(k, alpha, np.float32),
-                np.full(k, tc.gamma, np.float32),
-                np.asarray(lrs, np.float32))
+            sc, betas = self._chunk_scalars(i, k, alpha, start_steps,
+                                            total_steps)
+            profiling = self._maybe_profile_chunk(epoch, n_chunks)
             self.state, m = self.sampled_step(
                 self.state, self._dev_store_s, self._dev_store_t, sc,
                 self.rng)
             pending.append(("stacked", m, k))
+            if profiling:
+                jax.device_get(m["loss"])  # force execution in-window
+                jax.profiler.stop_trace()
             _start_async_fetch(m)
             meters["batch_time"].update((time.time() - end) / k, k)
             end = time.time()
             i += k
+            n_chunks += 1
             if (i - k) // K % max(self.print_freq // K, 1) == 0:
                 flush(keep_last=2)
                 last_line = self._format_train_line(
@@ -740,8 +770,14 @@ class Trainer:
                 self.lr_current = loss_plateau_lr(
                     self.lr_current, tc.lr_decay, self.loss_c_current,
                     self.loss_c_previous)
-            elif tc.lr_adaptive == "none" and epoch in tc.lr_steps:
-                self.lr_current /= tc.lr_decay
+            elif tc.lr_adaptive == "none":
+                # cumulative form (schedules.step_decay_lr) instead of
+                # dividing only when `epoch in lr_steps`: a resumed run
+                # starting past a step epoch re-derives the decayed lr
+                # (the reference restores it from optimizer state,
+                # main.py:102-104; review finding)
+                self.lr_current = step_decay_lr(tc.lr, tc.lr_decay, epoch,
+                                                tc.lr_steps)
 
             loss_c = self.train_epoch(epoch)
             self._last_epoch_done = epoch

@@ -600,6 +600,13 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
     With ``mesh`` the generated batches are sharding-constrained on the
     batch axis (data parallelism as in the host-fed path).
     """
+    if sampler_s.steps_per_epoch != sampler_t.steps_per_epoch:
+        raise ValueError(
+            "sampler_s and sampler_t must share steps_per_epoch (the "
+            "zip-shortest epoch coupling, main.py:330): set both to "
+            "min(len(source_loader), len(target_loader)) — otherwise "
+            "target batches silently desync from their epoch "
+            "permutation")
     step_fn = make_train_step(model, da, train_cfg, class_weights,
                               domain_weights, gather_on_device=True).raw
 

@@ -42,6 +42,29 @@ def test_deterministic_modes_match_host_bitwise():
             np.testing.assert_array_equal(np.asarray(mask), hb.mask)
 
 
+def test_deterministic_parity_seg7_float64_rounding_cases():
+    """Regression: at S=7 the float64 central formula lands just below
+    exact-integer boundaries for some num_frames (e.g. nf=12: host frame
+    5 vs exact-math 6); the device sampler must match the HOST."""
+    from ta3n_tpu.data.feature_store import FeatureStore
+    rng = np.random.default_rng(3)
+    feats, paths, labels = [], [], []
+    for v, n in enumerate(list(range(8, 40)) + [12, 19, 26]):
+        feats.append(rng.normal(size=(n, 8)).astype(np.float32))
+        paths.append(f"v{v}")
+        labels.append(int(rng.integers(0, 2)))
+    store = FeatureStore.from_arrays(feats, paths, labels)
+    for mode in ("test", "val"):
+        host = TSNLoader(store, batch_size=5, num_segments=7, mode=mode,
+                         shuffle=False)
+        dev = DeviceSampler(TSNLoader(store, batch_size=5, num_segments=7,
+                                      mode=mode, shuffle=False), seed=0)
+        for step, hb in enumerate(host.index_epoch()):
+            idx, _, _ = dev.batch(jnp.asarray(step))
+            np.testing.assert_array_equal(np.asarray(idx), hb.abs_indices,
+                                          err_msg=f"{mode} step {step}")
+
+
 def test_pad_to_rows_masked_like_host():
     src, _, _ = make_domain_pair(num_source=10, num_target=8, num_val=8,
                                  num_class=3, feature_dim=FDIM)

@@ -67,6 +67,38 @@ def test_profiler_trace_written(tmp_path):
     assert any("xplane" in f or "trace" in f for f in found), found
 
 
+def test_profiler_trace_written_multi_step_path(tmp_path):
+    """--profile_dir must also capture a trace in the K-step production
+    path (review finding: it was silently ignored there)."""
+    from ta3n_tpu.data.synthetic import make_domain_pair as mdp
+    src, tgt, val = mdp(num_source=24, num_target=18, num_val=12,
+                        num_class=3, feature_dim=16, shift=0.8)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=3,
+                      val_segments=3, fc_dim=16, feature_dim=16,
+                      use_attn="TransAttn", dropout_i=0.1, dropout_v=0.1)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.05, epochs=1, batch_size=(8, 6, 8),
+                     beta=(0.5, 0.5, 0.5))
+    ls = TSNLoader(src, batch_size=8, num_segments=3, mode="test", seed=1)
+    lt = TSNLoader(tgt, batch_size=6, num_segments=3, mode="test", seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=3, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, path_exp=str(tmp_path) + "/",
+                 use_mesh=False, device_store=True, steps_per_call=1,
+                 profile_dir=str(tmp_path / "prof_multi"),
+                 eval_freq=100, print_freq=100, show_freq=100)
+    # force the multi path with a tiny K so two chunks exist
+    from ta3n_tpu.train.step import make_multi_train_step
+    tr.steps_per_call = 1
+    tr.multi_step = make_multi_train_step(tr.model, da, tc)
+    tr.steps_per_call = 1  # chunks of 1 -> >=2 chunks per epoch
+    tr.train_epoch(1)
+    found = [f for _, _, files in os.walk(tr.profile_dir)
+             for f in files]
+    assert any("xplane" in f or "trace" in f for f in found), found
+
+
 def test_pretrain_source_step(tmp_path):
     tr = make_trainer(tmp_path, pretrain=True)
     best = tr.fit()

@@ -63,3 +63,34 @@ def test_samplers_new_length_grid():
                 got_t = sample_indices_test(np.array([n]), s, nl)[0]
                 np.testing.assert_array_equal(got_v, want)
                 np.testing.assert_array_equal(got_t, want)
+
+
+def test_abandoned_prefetch_stops_producer_thread():
+    """zip-shortest abandons the longer loader's prefetch mid-epoch; the
+    producer thread must exit instead of blocking forever (review
+    finding: one leaked thread + buffered batches per epoch)."""
+    import time
+    from ta3n_tpu.data.loader import prefetch
+
+    def infinite():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    p = prefetch(infinite(), depth=2)
+    assert next(p) == 0
+    thread = p._thread
+    p.close()
+    thread.join(timeout=5.0)
+    assert not thread.is_alive()
+
+    # abandonment via garbage collection also stops it
+    p2 = prefetch(infinite(), depth=2)
+    t2 = p2._thread
+    next(p2)
+    del p2
+    import gc
+    gc.collect()
+    t2.join(timeout=5.0)
+    assert not t2.is_alive()

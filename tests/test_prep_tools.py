@@ -92,3 +92,15 @@ def test_native_gather_multithreaded():
     got = native_gather(feats, offsets, vids, frames, num_threads=4)
     want = feats[offsets[vids][:, None] + frames]
     np.testing.assert_array_equal(got, want)
+
+
+def test_class_weights_with_absent_class(tmp_path):
+    """A class missing from the train list must not shift later classes'
+    weights (reference defect at main.py:156-164, fixed here: full
+    num_class vector, absent classes weight 1.0)."""
+    from ta3n_tpu.train.loop import class_weights_from_list
+    p = tmp_path / "list.txt"
+    p.write_text("a 5 0\nb 5 0\nc 5 1\nd 5 3\n")  # class 2 absent
+    w = class_weights_from_list(str(p), 4, True)
+    assert w.shape == (4,)
+    np.testing.assert_allclose(w, [2.0, 4.0, 1.0, 4.0])

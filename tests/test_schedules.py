@@ -41,3 +41,13 @@ def test_step_decay():
 def test_loss_plateau():
     assert loss_plateau_lr(1.0, 10, 2.0, 1.0) == pytest.approx(0.1)
     assert loss_plateau_lr(1.0, 10, 1.0, 2.0) == 1.0
+
+
+def test_step_decay_resume_rederives_lr():
+    """lr_adaptive='none' resume past a decay epoch must continue at the
+    decayed lr (review finding: the old `epoch in lr_steps` division
+    never fired for resumed runs)."""
+    from ta3n_tpu.train.schedules import step_decay_lr
+    assert step_decay_lr(0.1, 10.0, 9, (10, 20)) == 0.1
+    assert abs(step_decay_lr(0.1, 10.0, 15, (10, 20)) - 0.01) < 1e-12
+    assert abs(step_decay_lr(0.1, 10.0, 25, (10, 20)) - 0.001) < 1e-12
