@@ -61,6 +61,7 @@ def run_one(seed: int, use_da: bool, args) -> float:
         da = DAConfig(use_target="none")
     tc = TrainConfig(lr=args.lr, epochs=args.epochs,
                      batch_size=(16, 16, 16),
+                     alpha=args.alpha,
                      beta=tuple(args.beta), gamma=args.gamma, mu=args.mu,
                      lr_adaptive="dann" if args.dann_lr else "none")
     ls = TSNLoader(src, batch_size=16, num_segments=SEG, mode="test",
@@ -84,6 +85,9 @@ def main():
     ap.add_argument("--fc_dim", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=0.03)
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="discrepancy-loss weight (reference default 1; "
+                         "-1 selects the sigmoid ramp, main.py:231)")
     ap.add_argument("--gamma", type=float, default=0.003)
     ap.add_argument("--mu", type=float, default=0.0,
                     help="MCD reverse-GRL strength (reference default 0; "
@@ -105,11 +109,32 @@ def main():
                          "vs source-only)")
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--source_cache", type=str, default=None,
+                    help="JSON file caching source-only accuracies per "
+                         "(seed, benchmark, lr) so hyper-parameter sweeps "
+                         "of the DA arm don't retrain the baseline")
     args = ap.parse_args()
+
+    cache = {}
+    if args.source_cache:
+        import os
+        if os.path.exists(args.source_cache):
+            with open(args.source_cache) as f:
+                cache = json.load(f)
+
+    def cached_source_only(seed):
+        key = (f"s{seed}_a{args.angle}_v{args.videos}_e{args.epochs}"
+               f"_lr{args.lr}_c{args.centroid_scale}_d{args.dropout}")
+        if key not in cache:
+            cache[key] = run_one(seed, False, args)
+            if args.source_cache:
+                with open(args.source_cache, "w") as f:
+                    json.dump(cache, f)
+        return cache[key]
 
     rows = []
     for seed in args.seeds:
-        src_only = run_one(seed, False, args)
+        src_only = cached_source_only(seed)
         full_da = run_one(seed, True, args)
         rows.append({"seed": seed, "source_only": src_only,
                      "full_ta3n": full_da, "gain": full_da - src_only})
@@ -118,6 +143,8 @@ def main():
     print(json.dumps({"min_gain": min(gains),
                       "mean_gain": float(np.mean(gains)),
                       "angle": args.angle, "epochs": args.epochs,
+                      "variant": args.da_variant, "alpha": args.alpha,
+                      "lr": args.lr,
                       "compute_dtype": args.compute_dtype}))
 
 

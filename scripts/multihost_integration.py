@@ -1,0 +1,229 @@
+"""Multi-host (2-process) integration proof on a virtual CPU mesh.
+
+The reference's only parallelism is single-process DataParallel
+(/root/reference/main.py:79); `parallel/distributed.py` goes beyond it
+with jax.distributed multi-host DCN scale-out.  This script PROVES that
+path end-to-end in this environment (VERDICT r2 next-#2): two local
+processes (`jax.distributed.initialize(coordinator_address=
+"localhost:<port>", num_processes=2, process_id=i)`, 4 virtual CPU
+devices each) form ONE global 8-device mesh, run K sharded steps of the
+flagship device-store multi-step program with each process feeding only
+its `host_batch_slice` of the global batch, and the resulting parameters
+match a single-process 8-device run of the identical schedule.
+
+Usage:
+  python scripts/multihost_integration.py            # orchestrate + JSON
+  python scripts/multihost_integration.py --worker \
+      --process_id 0 --num_processes 2 --port 12356 --out /tmp/p0.npz
+
+The orchestrator writes MULTIHOST_r03.json-style output to --json (and
+stdout).  tests/test_distributed.py runs the same orchestration under
+pytest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# tiny flagship-shaped config: trn-m + TransAttn + RevGrad at all three
+# levels + attentive entropy, dropout 0 for exact cross-topology parity
+FDIM, FC, SEG, NCLASS = 16, 16, 3, 3
+BS, BT = 8, 8          # global batches (divisible by the 8-device mesh)
+K, CALLS = 3, 2        # K steps per dispatch, 2 dispatches
+
+
+def _build_everything():
+    import jax
+    from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+    from ta3n_tpu.models import VideoModel
+    from ta3n_tpu.parallel import make_mesh
+    from ta3n_tpu.train import StepScalars, create_train_state
+    from ta3n_tpu.train.step import make_multi_train_step
+
+    cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=FC, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  add_loss_DA="attentive_entropy",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(optimizer="SGD", lr=0.05, epochs=2,
+                     batch_size=(BS, BT, BS))
+
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, BS, BT, tc)
+    mesh = make_mesh(jax.devices())
+    step = make_multi_train_step(model, da, tc, mesh=mesh)
+    return jax, mesh, state, step, StepScalars, rng
+
+
+def _deterministic_feed(call_idx: int):
+    """Identical on every process: the GLOBAL index/label batches for one
+    K-step dispatch (fixed numpy seed)."""
+    g = np.random.default_rng(1000 + call_idx)
+    idx_s = g.integers(0, 64, size=(K, BS, SEG)).astype(np.int32)
+    idx_t = g.integers(0, 48, size=(K, BT, SEG)).astype(np.int32)
+    ys = g.integers(0, NCLASS, size=(K, BS)).astype(np.int32)
+    yt = g.integers(0, NCLASS, size=(K, BT)).astype(np.int32)
+    ms = np.ones((K, BS), np.float32)
+    mt = np.ones((K, BT), np.float32)
+    return idx_s, idx_t, ys, yt, ms, mt
+
+
+def run_worker(process_id: int, num_processes: int, port: int,
+               out_path: str) -> None:
+    if num_processes > 1:
+        from ta3n_tpu.parallel.distributed import initialize_multihost
+        initialize_multihost(f"localhost:{port}", num_processes,
+                             process_id)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ta3n_tpu.parallel.distributed import host_batch_slice
+
+    jax_mod, mesh, state, step, StepScalars, rng = _build_everything()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    rep = NamedSharding(mesh, P())
+    kdata = NamedSharding(mesh, P(None, "data"))
+
+    def to_global_rep(x):
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+    def to_global_kdata(x):
+        """x is the GLOBAL [K, B, ...] array; this process contributes
+        only its host_batch_slice rows of axis 1 (per-host input feed,
+        parallel/distributed.py docstring)."""
+        lo, hi = host_batch_slice(x.shape[1])
+        return jax.make_array_from_process_local_data(
+            kdata, np.ascontiguousarray(x[:, lo:hi]), x.shape)
+
+    # replicated state: every process provides the full (identical) value
+    state = jax.tree_util.tree_map(to_global_rep, state)
+
+    # replicated stores (deterministic content, same seed everywhere)
+    g = np.random.default_rng(7)
+    store_s = to_global_rep(g.normal(size=(64, FDIM)).astype(np.float32))
+    store_t = to_global_rep(g.normal(size=(48, FDIM)).astype(np.float32))
+
+    sc = StepScalars(
+        np.tile(np.float32([0.75, 0.75, 0.5]), (K, 1)),
+        np.zeros(K, np.float32), np.zeros(K, np.float32),
+        np.full(K, 0.003, np.float32), np.full(K, 0.05, np.float32))
+    sc = jax.tree_util.tree_map(to_global_rep, sc)
+    rng_g = to_global_rep(rng)
+
+    last_loss = None
+    for call in range(CALLS):
+        idx_s, idx_t, ys, yt, ms, mt = _deterministic_feed(call)
+        state, metrics = step(
+            state, store_s, to_global_kdata(idx_s), to_global_kdata(ys),
+            to_global_kdata(ms), store_t, to_global_kdata(idx_t),
+            to_global_kdata(yt), to_global_kdata(mt), sc, rng_g)
+        last_loss = float(np.asarray(
+            metrics["loss"].addressable_data(0))[-1])
+
+    leaves = jax.tree_util.tree_leaves(state.params)
+    flat = np.concatenate([
+        np.asarray(leaf.addressable_data(0)).ravel() for leaf in leaves])
+    np.savez(out_path, params=flat, loss=last_loss,
+             n_devices=len(jax.devices()),
+             n_processes=jax.process_count())
+    print(f"[worker {process_id}] done: {flat.size} params, "
+          f"loss {last_loss:.6f}", flush=True)
+
+
+def _spawn(args_list, device_count: int):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={device_count}")
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"] + args_list,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+
+
+def orchestrate(json_path: str | None = None, timeout: int = 900) -> dict:
+    tmp = tempfile.mkdtemp(prefix="mh_")
+    port = 12000 + (os.getpid() % 20000)
+
+    # oracle: ONE process, 8 virtual devices, same schedule
+    oracle_out = os.path.join(tmp, "oracle.npz")
+    p = _spawn(["--process_id", "0", "--num_processes", "1",
+                "--port", str(port), "--out", oracle_out], 8)
+    out, _ = p.communicate(timeout=timeout)
+    if p.returncode != 0:
+        raise RuntimeError(f"oracle failed:\n{out[-3000:]}")
+
+    # 2 processes x 4 virtual devices -> the same global 8-device mesh
+    workers, outs = [], []
+    for i in range(2):
+        wout = os.path.join(tmp, f"p{i}.npz")
+        outs.append(wout)
+        workers.append(_spawn(
+            ["--process_id", str(i), "--num_processes", "2",
+             "--port", str(port), "--out", wout], 4))
+    logs = []
+    for w in workers:
+        out, _ = w.communicate(timeout=timeout)
+        logs.append(out)
+    if any(w.returncode != 0 for w in workers):
+        raise RuntimeError("worker failed:\n"
+                           + "\n----\n".join(l[-3000:] for l in logs))
+
+    oracle = np.load(oracle_out)
+    r0, r1 = np.load(outs[0]), np.load(outs[1])
+    assert int(r0["n_processes"]) == 2 and int(r0["n_devices"]) == 8
+    max_dev = float(np.max(np.abs(r0["params"] - oracle["params"])))
+    cross_dev = float(np.max(np.abs(r0["params"] - r1["params"])))
+    result = {
+        "ok": bool(max_dev < 1e-5 and cross_dev < 1e-6),
+        "what": "2-process jax.distributed CPU mesh (4+4 devices) runs "
+                f"{CALLS}x{K} flagship device-store multi-steps with "
+                "per-host host_batch_slice feeding; parameters vs the "
+                "single-process 8-device oracle",
+        "n_params": int(oracle["params"].size),
+        "max_param_dev_vs_single_process": max_dev,
+        "max_param_dev_between_processes": cross_dev,
+        "oracle_loss": float(oracle["loss"]),
+        "multihost_loss": float(r0["loss"]),
+    }
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    if not result["ok"]:
+        raise SystemExit(1)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--process_id", type=int, default=0)
+    ap.add_argument("--num_processes", type=int, default=2)
+    ap.add_argument("--port", type=int, default=12356)
+    ap.add_argument("--out", type=str, default="/tmp/mh_worker.npz")
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+    if args.worker:
+        run_worker(args.process_id, args.num_processes, args.port,
+                   args.out)
+    else:
+        orchestrate(args.json)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
                              'sampling uses a keyed PRNG stream '
                              '(deterministic per seed, distribution-'
                              'equal to the host sampler)')
+    parser.add_argument('--accum_steps', type=int, default=1,
+                        help='gradient accumulation: average gradients '
+                             'over this many consecutive micro-batch '
+                             'pairs before ONE optimizer update '
+                             '(effective batch = accum_steps * -b; '
+                             'capability absent in the reference). '
+                             'Host-feed path only (ignored with '
+                             '--device_store / --steps_per_call > 1)')
     parser.add_argument('--store_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='dtype of the HBM-resident feature store '

@@ -198,6 +198,17 @@ def main(argv=None):
 
     if args.device_store and not streaming:
         bs_all = list(batches)
+        if args.max_num > 0:
+            # don't dispatch (or stack on-device outputs for) batches past
+            # the --max_num cap — truncate the one-dispatch stack to the
+            # batches actually consumed
+            need, total = 0, 0
+            for b in bs_all:
+                need += 1
+                total += int(b.mask.sum())
+                if total >= args.max_num:
+                    break
+            bs_all = bs_all[:need]
         probs_a, _, top_i_a, attn_a = jax.device_get(infer_all(
             store_dev,
             jnp.asarray(np.stack([b.abs_indices for b in bs_all])),

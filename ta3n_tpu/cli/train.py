@@ -80,6 +80,7 @@ def main(argv=None):
                       store_budget_rows=args.store_budget_rows or None,
                       store_dtype=args.store_dtype,
                       device_sampler=args.device_sampler,
+                      accum_steps=args.accum_steps,
                       seed=args.seed,
                       prefetch_depth=max(1, args.workers))
 

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ta3n_tpu.models.layers import dense, normal_001
 from ta3n_tpu.ops.relation import build_relation_plan
-from ta3n_tpu.ops.trn_fused import trn_multiscale_fused
+from ta3n_tpu.ops.trn_fused import trn_multiscale_fused, trn_multiscale_infer
 
 __all__ = ["RelationModule", "RelationModuleMultiScale"]
 
@@ -79,8 +79,9 @@ class RelationModuleMultiScale(nn.Module):
                 and self.num_bottleneck % 128 == 0)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, S, D]
+    def __call__(self, x: jax.Array, infer: bool = False) -> jax.Array:
+        # x: [B, S, D]; infer=True selects the mask-free fused forward
+        # (no backward possible — eval/serve paths only)
         b = x.shape[0]
         d = self.img_feature_dim
         hdim = self.num_bottleneck
@@ -94,7 +95,8 @@ class RelationModuleMultiScale(nn.Module):
                                      nn.initializers.zeros, (hdim,)))
 
         if self._pallas_ok():
-            return trn_multiscale_fused(
+            fused = trn_multiscale_infer if infer else trn_multiscale_fused
+            return fused(
                 x.astype(self.dtype),
                 tuple(w.astype(self.dtype) for w in weights),
                 tuple(bi.astype(self.dtype) for bi in biases),

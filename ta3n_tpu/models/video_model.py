@@ -216,7 +216,8 @@ class VideoModel(nn.Module):
                 rel = RelationModuleMultiScale(cfg.shared_dim,
                                                cfg.num_bottleneck,
                                                num_segments, dtype=dtype,
-                                               name="TRN")(feat_seg)
+                                               name="TRN")(
+                    feat_seg, infer=not is_train)
             num_relation = rel.shape[1]
 
             # relation-level adversarial heads (models.py:472-488): one

@@ -119,7 +119,8 @@ class Trainer:
                  prefetch_depth: int = 2,
                  store_budget_rows: Optional[int] = None,
                  store_dtype: Optional[str] = None,
-                 device_sampler: bool = False):
+                 device_sampler: bool = False,
+                 accum_steps: int = 1):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -232,6 +233,19 @@ class Trainer:
         # per-step host sampling or index upload.  Resident-store multi-
         # step mode only (streaming/aux/pretrain fall back to host feed).
         self.sampled_step = None
+        if device_sampler and not (device_store and not self.streaming
+                                   and self.steps_per_call > 1):
+            import warnings
+            unmet = []
+            if not device_store:
+                unmet.append("--device_store")
+            if self.streaming:
+                unmet.append("a fully-resident store (no --store_budget_rows)")
+            if self.steps_per_call <= 1:
+                unmet.append("--steps_per_call > 1")
+            warnings.warn(
+                "--device_sampler ignored; requires " + ", ".join(unmet)
+                + " — falling back to host-side sampling", stacklevel=2)
         if (device_sampler and device_store and not self.streaming
                 and self.steps_per_call > 1):
             from ta3n_tpu.data.device_sampler import DeviceSampler
@@ -247,6 +261,35 @@ class Trainer:
             self.sampled_step = make_sampled_multi_step(
                 self.model, da_cfg, train_cfg, self._sampler_s,
                 self._sampler_t, cw, dw, mesh=self.mesh)
+
+        # gradient accumulation (--accum_steps): G host-fed micro-batch
+        # pairs -> averaged gradients -> ONE optimizer update (effective
+        # batch G*B; capability absent in the reference).  Host-feed path
+        # only — the device-store/K-step modes already scale batch via
+        # the mesh, and the accum step consumes features directly.
+        self.accum_step = None
+        self.accum_steps = 1
+        if accum_steps > 1:
+            unmet = []
+            if device_store:
+                unmet.append("--device_store")
+            if self.steps_per_call > 1:
+                unmet.append("--steps_per_call > 1")
+            if da_cfg.pretrain_source:
+                unmet.append("--pretrain_source")
+            if self._need_aux:
+                unmet.append("attention/tensorboard collection")
+            if unmet:
+                import warnings
+                warnings.warn(
+                    "--accum_steps ignored with " + ", ".join(unmet)
+                    + " — falling back to per-batch updates", stacklevel=2)
+            else:
+                from ta3n_tpu.train.step import make_grad_accum_step
+                self.accum_steps = accum_steps
+                self.accum_step = make_grad_accum_step(
+                    self.model, da_cfg, train_cfg, cw, dw,
+                    accum_steps=accum_steps, mesh=self.mesh)
 
         # whole-epoch batched validation: one dispatch + one 4-scalar
         # fetch instead of per-batch dispatch+device_get (resident
@@ -334,10 +377,11 @@ class Trainer:
                                 self.prefetch_depth)
             it = (loader.index_epoch() if self.device_store
                   else loader.epoch())
-            if self.multi_step is not None:
-                # multi-step mode stacks K host batches before dispatch;
-                # the stacked [K,B,..] arrays are placed by the jit's own
-                # in_shardings (batch axis 1), so no per-batch device_put
+            if self.multi_step is not None or self.accum_step is not None:
+                # multi-step/accum modes stack K (G) host batches before
+                # dispatch; the stacked [K,B,..] arrays are placed by the
+                # jit's own in_shardings (batch axis 1), so no per-batch
+                # device_put
                 return prefetch(it, self.prefetch_depth)
             return device_prefetch(prefetch(it, self.prefetch_depth),
                                    self.batch_sharding)
@@ -349,14 +393,15 @@ class Trainer:
         def flush(keep_last: int = 0):
             """Materialize pending metrics into the meters.
 
-            keep_last=1 leaves the newest chunk unmaterialized: its
-            execution is still in flight, and blocking on it would
+            keep_last=N leaves the newest N chunks unmaterialized: their
+            execution is still in flight, and blocking on them would
             serialize the dispatch pipeline on this ~39 ms-roundtrip
             tunnel.  Chunk producers start copy_to_host_async at dispatch
             so older chunks' device_get is a cheap local read.  Printed
-            'val' columns therefore lag one chunk (<= K steps) behind the
-            header step — logging-only divergence, meter averages are
-            exact (documented in PARITY.md)."""
+            'val' columns therefore lag up to keep_last chunks
+            (<= keep_last*K steps; callers pass 2) behind the header
+            step — logging-only divergence, meter averages are exact
+            (documented in PARITY.md)."""
             if meters["loss"].count == 0:
                 keep_last = 0  # first print of the epoch: block once so
                 # the line shows real values instead of zeros
@@ -398,6 +443,11 @@ class Trainer:
 
         if self.multi_step is not None:
             return self._train_epoch_multi(epoch, meters, pairs, flush,
+                                           pending, alpha, start_steps,
+                                           total_steps, len_loader)
+
+        if self.accum_step is not None:
+            return self._train_epoch_accum(epoch, meters, pairs, flush,
                                            pending, alpha, start_steps,
                                            total_steps, len_loader)
 
@@ -497,10 +547,19 @@ class Trainer:
 
     def _maybe_profile_chunk(self, epoch, n_chunks) -> bool:
         """--profile_dir window for the K-step paths: trace the SECOND
-        chunk of the first epoch (the first chunk compiles).  The
-        single-step path has its own steps-2..7 window."""
-        if (self.profile_dir and epoch == self.start_epoch
-                and n_chunks == 1):
+        chunk of the first epoch (the first chunk compiles).  When the
+        epoch has only ONE chunk (spe <= steps_per_call) fall back to the
+        first chunk of the SECOND epoch, so a trace is always produced.
+        The single-step path has its own steps-2..7 window."""
+        if not self.profile_dir:
+            return False
+        spe = min(len(self.source_loader), len(self.target_loader))
+        single_chunk_epoch = spe <= self.steps_per_call
+        if single_chunk_epoch:
+            hit = epoch == self.start_epoch + 1 and n_chunks == 0
+        else:
+            hit = epoch == self.start_epoch and n_chunks == 1
+        if hit:
             jax.profiler.start_trace(self.profile_dir)
             return True
         return False
@@ -601,6 +660,77 @@ class Trainer:
                     chunk = []
             if chunk:
                 run_chunk(chunk)
+        flush()
+        if self.logs and last_line:
+            self.logs.write("train_short.log", last_line)
+        return meters["loss_c"].avg
+
+    def _train_epoch_accum(self, epoch, meters, pairs, flush, pending,
+                           alpha, start_steps, total_steps, len_loader):
+        """Gradient-accumulation epoch: every G consecutive micro-batch
+        pairs become ONE optimizer update with averaged gradients
+        (make_grad_accum_step).  Schedule scalars (beta/lr) are evaluated
+        once per UPDATE at the chunk's first micro-step index; a tail of
+        fewer than G pairs falls back to plain per-batch updates so no
+        data is dropped."""
+        tc = self.train_cfg
+        G = self.accum_steps
+        end = time.time()
+        last_line = ""
+        chunk = []
+        i = 0
+
+        def run_chunk(chunk):
+            nonlocal last_line, end, i
+            p = progress(i, start_steps, total_steps)
+            beta = effective_beta(tc.beta, p)
+            scalars = StepScalars(np.asarray(beta, np.float32),
+                                  np.float32(tc.mu), np.float32(alpha),
+                                  np.float32(tc.gamma),
+                                  np.float32(self.lr_current))
+            bs_list, bt_list = zip(*chunk)
+            k = len(chunk)
+            if k == G:
+                stack = lambda xs: np.stack(xs)
+                self.state, m = self.accum_step(
+                    self.state,
+                    stack([b.features for b in bs_list]),
+                    stack([b.labels for b in bs_list]),
+                    stack([b.mask for b in bs_list]),
+                    stack([b.features for b in bt_list]),
+                    stack([b.labels for b in bt_list]),
+                    stack([b.mask for b in bt_list]),
+                    scalars, self.rng)
+                pending.append(("stacked", m, k))
+                _start_async_fetch(m)
+            else:  # tail: plain per-batch updates
+                for bs, bt in chunk:
+                    self.state, m = self.train_step(
+                        self.state, bs.features, bs.labels, bs.mask,
+                        bt.features, bt.labels, bt.mask, scalars,
+                        self.rng)
+                    pending.append(m)
+                    _start_async_fetch(m)
+            meters["batch_time"].update((time.time() - end) / k, k)
+            end = time.time()
+            i += k
+            if (i - k) // G % max(self.print_freq // G, 1) == 0:
+                flush(keep_last=2)
+                last_line = self._format_train_line(
+                    epoch, i - 1, len_loader, meters, alpha, beta, tc)
+                if self.logs:
+                    self.logs.write("train.log", last_line)
+                print(last_line)
+            if tc.lr_adaptive == "dann":  # per-UPDATE lr decay
+                self.lr_current = dann_lr(tc.lr, p)
+
+        for bs, bt in pairs:
+            chunk.append((bs, bt))
+            if len(chunk) == G:
+                run_chunk(chunk)
+                chunk = []
+        if chunk:
+            run_chunk(chunk)
         flush()
         if self.logs and last_line:
             self.logs.write("train_short.log", last_line)

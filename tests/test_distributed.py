@@ -34,3 +34,27 @@ def test_host_batch_slice_mocked_multiprocess():
         assert d.host_batch_slice(128) == (64, 96)
     finally:
         jax.process_count, jax.process_index = orig_count, orig_idx
+
+
+def test_two_process_distributed_matches_single_process():
+    """REAL multi-host integration (VERDICT r2 next-#2): two local
+    processes with 4 virtual CPU devices each form a global 8-device
+    mesh via jax.distributed.initialize, run the flagship device-store
+    multi-step with per-host host_batch_slice feeding, and must match
+    the single-process 8-device oracle parameter-for-parameter
+    (scripts/multihost_integration.py; result JSON also committed as
+    MULTIHOST_r03.json)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "scripts", "multihost_integration.py")],
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["ok"]
+    assert result["max_param_dev_vs_single_process"] < 1e-5
+    assert result["max_param_dev_between_processes"] < 1e-6

@@ -192,3 +192,39 @@ def test_masked_rows_do_not_affect_updates():
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_discrepancy_subbatch_divergence_documented():
+    """_discrepancy_loss computes DAN over the full n_pair rows; the
+    reference chunks into 256-row sub-batches and averages per-chunk MMDs
+    (main.py:488-498).  At the published batch (n_pair = min(128,74) = 74
+    <= 256) the reference's view(-1, min(256,n), ...) produces exactly ONE
+    chunk, so the two formulations are identical; at n_pair > 256 the
+    blockwise mean genuinely differs (documented divergence, PARITY.md)."""
+    from ta3n_tpu.losses.losses import mmd_rbf
+
+    def reference_chunked(fs, ft, kernel_mul, kernel_num):
+        n = fs.shape[0]
+        size_batch = min(256, n)
+        assert n % size_batch == 0  # torch .view would error otherwise
+        chunks_s = fs.reshape(-1, size_batch, fs.shape[-1])
+        chunks_t = ft.reshape(-1, size_batch, ft.shape[-1])
+        vals = [mmd_rbf(chunks_s[t], chunks_t[t], kernel_mul=kernel_mul,
+                        kernel_num=kernel_num, ver=2)
+                for t in range(chunks_s.shape[0])]
+        return sum(vals) / len(vals)
+
+    rng = np.random.default_rng(0)
+    # published-size case: one chunk -> bitwise identical
+    fs = jnp.asarray(rng.normal(size=(74, 8)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(74, 8)).astype(np.float32) + 0.3)
+    ours = mmd_rbf(fs, ft, kernel_mul=2.0, kernel_num=2, ver=2)
+    ref = reference_chunked(np.asarray(fs), np.asarray(ft), 2.0, 2)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+
+    # >256-row case: blockwise mean diverges from full-batch MMD
+    fs = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32) + 0.3)
+    ours = float(mmd_rbf(fs, ft, kernel_mul=2.0, kernel_num=2, ver=2))
+    ref = float(reference_chunked(np.asarray(fs), np.asarray(ft), 2.0, 2))
+    assert abs(ours - ref) > 1e-6

@@ -116,3 +116,24 @@ def test_fused_odd_batch_padding(data):
     got = trn_multiscale_fused(x7, weights, biases, S, 3, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_infer_forward_matches_reference(data):
+    # mask-free inference forward (eval/serve paths): identical output to
+    # the training forward, no mask output produced
+    from ta3n_tpu.ops.trn_fused import trn_multiscale_infer
+    x, weights, biases = data
+    want = trn_multiscale_reference(x, weights, biases, S)
+    got = trn_multiscale_infer(x, weights, biases, S, 3, True)
+    assert got.shape == (B, S - 1, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_module_infer_flag_matches_train_forward(data):
+    x, _, _ = data
+    rng = jax.random.PRNGKey(0)
+    mod = RelationModuleMultiScale(D, H, S, use_pallas="never")
+    var = mod.init(rng, x)
+    np.testing.assert_allclose(np.asarray(mod.apply(var, x, infer=True)),
+                               np.asarray(mod.apply(var, x)), rtol=1e-6)
