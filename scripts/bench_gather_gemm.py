@@ -31,21 +31,31 @@ def roundtrip():
 
 
 def timed(fn, store3, idx, w, label):
-    # chain: make each call's w depend on the previous z so the runtime
-    # cannot overlap/elide the sequence
-    z, x = fn(store3, idx, w)
-    jax.block_until_ready((z, x))
+    # chain ITERS calls INSIDE one jit (per-dispatch tunnel latency is
+    # ~1.4 ms — it would dominate a per-call loop); each iteration's w
+    # depends on the previous z AND x so neither the gather nor the GEMM
+    # can be elided or overlapped
+    @jax.jit
+    def chained(w0):
+        def body(wc, _):
+            z, x = fn(store3, idx, wc)
+            # full-tensor sums: every output element feeds the carry, so
+            # XLA cannot slice the gather/GEMM down to one element
+            dep = (jnp.sum(z) + jnp.sum(x)) * 1e-30
+            return wc + dep, dep
+        wn, zs = jax.lax.scan(body, w0, None, length=ITERS)
+        return zs[-1] + wn[0, 0]
+
+    out = chained(w)
+    _ = float(out)
     rt = roundtrip()
     best = float("inf")
-    for _ in range(3):
-        zc = z
+    for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            zc, x = fn(store3, idx, w + zc[0, 0] * 1e-30)
-        _ = float(zc[0, 0])
+        _ = float(chained(w))
         best = min(best, time.perf_counter() - t0 - rt)
     per = best / ITERS * 1e6
-    print(f"{label:40s} {per:9.1f} us/call")
+    print(f"{label:40s} {per:9.1f} us/call", flush=True)
     return per
 
 

@@ -163,10 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
                              'permutation + TSN sampling inside the '
                              'compiled scan): no per-step host sampling '
                              'or index upload. Requires --device_store '
-                             'and --steps_per_call > 1; random-mode '
-                             'sampling uses a keyed PRNG stream '
-                             '(deterministic per seed, distribution-'
-                             'equal to the host sampler)')
+                             'and --steps_per_call > 1. With '
+                             '--store_budget_rows, batches are generated '
+                             'shard-locally against the resident shard '
+                             '(bitwise host parity in deterministic '
+                             'modes); random-mode sampling uses a keyed '
+                             'PRNG stream (deterministic per seed, '
+                             'distribution-equal to the host sampler)')
     parser.add_argument('--accum_steps', type=int, default=1,
                         help='gradient accumulation: average gradients '
                              'over this many consecutive micro-batch '

@@ -36,7 +36,33 @@ import numpy as np
 
 from ta3n_tpu.data.loader import TSNLoader
 
-__all__ = ["DeviceSampler"]
+__all__ = ["DeviceSampler", "StreamingDeviceSampler",
+           "plan_zip_shard_chunks"]
+
+
+def plan_zip_shard_chunks(sampler_s, sampler_t, steps_per_call: int):
+    """Host-side chunk plan for one streamed epoch with BOTH streams'
+    shard progressions zipped (main.py:330 zip-shortest semantics):
+    returns [(sid_s, j0_s, sid_t, j0_t, k)] with chunks breaking
+    whenever EITHER stream switches shards and k <= steps_per_call."""
+    def seq_of(sampler):
+        return [(sid, j) for sid in range(sampler.num_shards)
+                for j in range(sampler.shard_steps(sid))]
+
+    a, b = seq_of(sampler_s), seq_of(sampler_t)
+    n = min(len(a), len(b))
+    chunks = []
+    i = 0
+    while i < n:
+        sid_s, j0_s = a[i]
+        sid_t, j0_t = b[i]
+        k = 1
+        while (k < steps_per_call and i + k < n
+               and a[i + k][0] == sid_s and b[i + k][0] == sid_t):
+            k += 1
+        chunks.append((sid_s, j0_s, sid_t, j0_t, k))
+        i += k
+    return chunks
 
 
 class DeviceSampler:
@@ -157,3 +183,94 @@ class DeviceSampler:
         frames = jnp.minimum(frames, (nf - 1)[:, None, None])
         p, s, _ = frames.shape
         return frames.reshape(p, s * l)
+
+
+class StreamingDeviceSampler(DeviceSampler):
+    """Device-side index pipeline for the larger-than-HBM streaming mode
+    (data/streaming.py): batches are generated shard-locally inside the
+    compiled scan, removing the last host sampler from the streamed path
+    (VERDICT r2 next-#7; the reference's premise that loading scales to
+    any dataset size is dataset.py:53-66).
+
+    Mirrors TSNLoader.shard_index_epoch EXACTLY for deterministic modes
+    (shuffle off, val/test sampling — bitwise parity test-enforced):
+    shard-local record groups in loader order, per-shard tails padded +
+    masked, masked rows reading local row 0 with record-0 labels.  With
+    shuffle on, the within-shard permutation is drawn from a keyed PRNG
+    (same shuffle-window semantics, different stream than the host's
+    numpy Generator — like DeviceSampler's random mode).
+    """
+
+    def __init__(self, loader: TSNLoader, plan, seed: int = 0):
+        super().__init__(loader, seed)
+        sid_of_record = np.asarray(plan.shard_of(loader.video_idx))
+        ns = plan.num_shards
+        groups = [np.nonzero(sid_of_record == s)[0] for s in range(ns)]
+        self.gmax = max(len(g) for g in groups)
+        gp = np.zeros((ns, self.gmax), np.int32)
+        counts = np.zeros(ns, np.int32)
+        for s, g in enumerate(groups):
+            gp[s, :len(g)] = g
+            counts[s] = len(g)
+        self.num_shards = ns
+        self.groups = jnp.asarray(gp)            # [NS, Gmax], valid-first
+        self.shard_counts = jnp.asarray(counts)
+        self.shard_counts_host = counts
+        self.row_lo = jnp.asarray(np.asarray(plan.row_lo), jnp.int32)
+
+    def shard_steps(self, sid: int) -> int:
+        """Batches shard ``sid`` contributes per epoch (host int)."""
+        return int(-(-int(self.shard_counts_host[sid]) // self.batch_size))
+
+    def chunk_plan(self, steps_per_call: int):
+        """Host-side chunk descriptors for one epoch: a list of
+        (sid, j0, k) with chunks never spanning shards (one resident
+        shard per compiled scan — the ShardStream contract)."""
+        chunks = []
+        for sid in range(self.num_shards):
+            n = self.shard_steps(sid)
+            j = 0
+            while j < n:
+                k = min(steps_per_call, n - j)
+                chunks.append((sid, j, k))
+                j += k
+        return chunks
+
+    def shard_order(self, sid: jax.Array, epoch: jax.Array) -> jax.Array:
+        """Within-shard record visit order for one epoch ([Gmax] int32
+        slot indices into groups[sid]; invalid slots sort last)."""
+        if not self.shuffle:
+            return jnp.arange(self.gmax)
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._perm_key, epoch), sid)
+        u = jax.random.uniform(key, (self.gmax,))
+        u = jnp.where(jnp.arange(self.gmax) < self.shard_counts[sid],
+                      u, 2.0)  # invalid slots: sort to the tail
+        return jnp.argsort(u).astype(jnp.int32)
+
+    def shard_batch(self, sid: jax.Array, j: jax.Array,
+                    order: jax.Array, step: jax.Array):
+        """Shard-local batch j -> (abs_idx [P, T] SHARD-LOCAL rows,
+        labels [P], mask [P]).  ``step`` keys the random-mode sampler."""
+        count = self.shard_counts[sid]
+        pos = j * self.batch_size + jnp.arange(self.pad_to)
+        valid = jnp.logical_and(
+            pos < count, jnp.arange(self.pad_to) < self.batch_size)
+        slot = order[jnp.clip(pos, 0, self.gmax - 1)]
+        sel = self.groups[sid][slot]
+        # host pads with record position 0 (global) — mirror exactly
+        sel = jnp.where(valid, sel, 0)
+
+        fields = self._fields[sel]
+        offs, nf, labels = fields[:, 0], fields[:, 1], fields[:, 2]
+        if self._det_frames is not None:
+            frames = self._det_frames[sel]
+        else:
+            starts = self._sample(nf,
+                                  jax.random.fold_in(self._samp_key, step))
+            frames = self._expand_new_length(starts, nf)
+        abs_idx = (offs[:, None] + frames - self.row_lo[sid]).astype(
+            jnp.int32)
+        mask = valid.astype(jnp.float32)
+        abs_idx = jnp.where(valid[:, None], abs_idx, 0)
+        return abs_idx, labels, mask

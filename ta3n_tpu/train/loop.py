@@ -233,19 +233,42 @@ class Trainer:
         # per-step host sampling or index upload.  Resident-store multi-
         # step mode only (streaming/aux/pretrain fall back to host feed).
         self.sampled_step = None
-        if device_sampler and not (device_store and not self.streaming
+        self.shard_sampled_step = None
+        if device_sampler and not (device_store
                                    and self.steps_per_call > 1):
             import warnings
             unmet = []
             if not device_store:
                 unmet.append("--device_store")
-            if self.streaming:
-                unmet.append("a fully-resident store (no --store_budget_rows)")
             if self.steps_per_call <= 1:
                 unmet.append("--steps_per_call > 1")
             warnings.warn(
                 "--device_sampler ignored; requires " + ", ".join(unmet)
                 + " — falling back to host-side sampling", stacklevel=2)
+        if (device_sampler and device_store and self.streaming
+                and self.steps_per_call > 1):
+            # streaming + device sampling: shard-local batches generated
+            # inside the scan against the resident shard buffers — the
+            # larger-than-HBM path loses its last host sampler
+            from ta3n_tpu.data.device_sampler import (
+                StreamingDeviceSampler, plan_zip_shard_chunks)
+            from ta3n_tpu.train.step import make_sampled_shard_multi_step
+            self._ssampler_s = StreamingDeviceSampler(
+                source_loader, self._plan_s, seed=seed + 101)
+            self._ssampler_t = StreamingDeviceSampler(
+                target_loader, self._plan_t, seed=seed + 202)
+            total_s = sum(self._ssampler_s.shard_steps(s)
+                          for s in range(self._ssampler_s.num_shards))
+            total_t = sum(self._ssampler_t.shard_steps(s)
+                          for s in range(self._ssampler_t.num_shards))
+            # zip-shortest steps/epoch — drives both the schedule and the
+            # on-device epoch (= state.step // spe) derivation
+            self._stream_spe = min(total_s, total_t)
+            self._plan_chunks = plan_zip_shard_chunks
+            self.shard_sampled_step = make_sampled_shard_multi_step(
+                self.model, da_cfg, train_cfg, self._ssampler_s,
+                self._ssampler_t, self._stream_spe, cw, dw,
+                mesh=self.mesh)
         if (device_sampler and device_store and not self.streaming
                 and self.steps_per_call > 1):
             from ta3n_tpu.data.device_sampler import DeviceSampler
@@ -357,8 +380,12 @@ class Trainer:
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "loss_c", "loss_d",
                    "loss_a", "loss_e", "loss_s", "top1", "top5")}
-        len_loader = (self.source_loader.shard_epoch_len(self._plan_s)
-                      if self.streaming else len(self.source_loader))
+        if self.shard_sampled_step is not None:
+            len_loader = self._stream_spe
+        elif self.streaming:
+            len_loader = self.source_loader.shard_epoch_len(self._plan_s)
+        else:
+            len_loader = len(self.source_loader)
         start_steps = epoch * len_loader
         total_steps = tc.epochs * len_loader
         alpha = alpha_schedule(tc.alpha, epoch, tc.epochs)
@@ -431,6 +458,13 @@ class Trainer:
                                       n)
                 meters["top5"].update(100.0 * float(m["top5"]) / max(n, 1),
                                       n)
+
+        if self.shard_sampled_step is not None:
+            # streaming + device sampling: shard-local batches generated
+            # on device; the host walks the chunk plan and rotates shards
+            return self._train_epoch_sampled_stream(
+                epoch, meters, flush, pending, alpha, start_steps,
+                total_steps)
 
         if self.sampled_step is not None:
             # device-side index pipeline: no host iterators at all
@@ -731,6 +765,51 @@ class Trainer:
                 chunk = []
         if chunk:
             run_chunk(chunk)
+        flush()
+        if self.logs and last_line:
+            self.logs.write("train_short.log", last_line)
+        return meters["loss_c"].avg
+
+    def _train_epoch_sampled_stream(self, epoch, meters, flush, pending,
+                                    alpha, start_steps, total_steps):
+        """Streaming + device-sampled epoch: per chunk the host ships the
+        resident shard buffers (ShardStream double-buffered), the shard
+        ids/offsets and schedule scalars; the scan generates every batch
+        shard-locally on device."""
+        tc = self.train_cfg
+        chunks = self._plan_chunks(self._ssampler_s, self._ssampler_t,
+                                   self.steps_per_call)
+        spe = self._stream_spe
+        end = time.time()
+        last_line = ""
+        i = 0
+        n_chunks = 0
+        for sid_s, j0_s, sid_t, j0_t, k in chunks:
+            sc, betas = self._chunk_scalars(i, k, alpha, start_steps,
+                                            total_steps)
+            profiling = self._maybe_profile_chunk(epoch, n_chunks)
+            self.state, m = self.shard_sampled_step(
+                self.state, self._stream_s.get(sid_s),
+                self._stream_t.get(sid_t), sc, self.rng,
+                np.int32(sid_s), np.int32(j0_s), np.int32(sid_t),
+                np.int32(j0_t))
+            pending.append(("stacked", m, k))
+            if profiling:
+                jax.device_get(m["loss"])  # force execution in-window
+                jax.profiler.stop_trace()
+            _start_async_fetch(m)
+            meters["batch_time"].update((time.time() - end) / k, k)
+            end = time.time()
+            i += k
+            n_chunks += 1
+            K = self.steps_per_call
+            if (i - k) // K % max(self.print_freq // K, 1) == 0:
+                flush(keep_last=2)
+                last_line = self._format_train_line(
+                    epoch, i - 1, spe, meters, alpha, betas[-1], tc)
+                if self.logs:
+                    self.logs.write("train.log", last_line)
+                print(last_line)
         flush()
         if self.logs and last_line:
             self.logs.write("train_short.log", last_line)

@@ -657,6 +657,75 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
     return multi_step
 
 
+def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
+                                  train_cfg: TrainConfig,
+                                  sampler_s, sampler_t,
+                                  steps_per_epoch: int,
+                                  class_weights:
+                                  Optional[jnp.ndarray] = None,
+                                  domain_weights:
+                                  Optional[jnp.ndarray] = None,
+                                  mesh=None, axis_name: str = "data"):
+    """Device-sampled K-step scan for the larger-than-HBM STREAMING mode
+    (VERDICT r2 next-#7): like make_sampled_multi_step, but batches are
+    generated shard-locally by StreamingDeviceSampler against the
+    currently-resident shard buffers — the streamed path loses its last
+    host sampler (reference scaling premise: dataset.py:53-66).
+
+    Chunks never span shards (the ShardStream contract); the shard ids
+    and within-shard step offsets arrive as TRACED int32 scalars so one
+    compiled program (per distinct K) serves every chunk.
+
+    Signature: step(state, shard_s, shard_t, scalars[K,...], rng,
+                    sid_s, j0_s, sid_t, j0_t) -> (state, metrics [K])
+    """
+    step_fn = make_train_step(model, da, train_cfg, class_weights,
+                              domain_weights, gather_on_device=True).raw
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def constrain(x):
+            spec = P(*([axis_name] + [None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+    else:
+        def constrain(x):
+            return x
+
+    jit_kwargs = {}
+    if mesh is not None:
+        rep, _, _ = _mesh_shardings(mesh, axis_name)
+        jit_kwargs = dict(
+            in_shardings=(rep,) * 9, out_shardings=(rep, rep))
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
+    def shard_step(state, shard_s, shard_t, scalars: StepScalars, rng,
+                   sid_s, j0_s, sid_t, j0_t):
+        k = scalars.lr.shape[0]
+        # chunks never span epochs (the Trainer chunks per epoch), so
+        # the within-shard permutation is hoisted out of the scan
+        epoch = state.step // steps_per_epoch
+        order_s = sampler_s.shard_order(sid_s, epoch)
+        order_t = sampler_t.shard_order(sid_t, epoch)
+
+        def body(st, per):
+            sc, j = per
+            ai_s, ys, ms = sampler_s.shard_batch(sid_s, j0_s + j,
+                                                 order_s, st.step)
+            ai_t, yt, mt = sampler_t.shard_batch(sid_t, j0_t + j,
+                                                 order_t, st.step)
+            ai_s, ys, ms = constrain(ai_s), constrain(ys), constrain(ms)
+            ai_t, yt, mt = constrain(ai_t), constrain(yt), constrain(mt)
+            return step_fn(st, shard_s, ai_s, ys, ms,
+                           shard_t, ai_t, yt, mt, sc, rng)
+
+        return jax.lax.scan(body, state,
+                            (scalars, jnp.arange(k, dtype=jnp.int32)))
+
+    return shard_step
+
+
 def make_multi_eval_step(model: VideoModel,
                          class_weights: Optional[jnp.ndarray] = None,
                          mesh=None, axis_name: str = "data"):

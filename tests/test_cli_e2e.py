@@ -248,3 +248,27 @@ def test_train_cli_accum_steps(workspace):
     path_exp = str(exp) + "/RGB/"
     assert os.path.isfile(path_exp + "train.log")
     assert os.path.getsize(path_exp + "train.log") > 0
+
+
+def test_train_cli_streaming_device_sampler(workspace):
+    """--device_sampler + --store_budget_rows: the larger-than-HBM
+    streaming path with shard-local on-device batch generation."""
+    from ta3n_tpu.cli.train import main
+    exp = workspace / "exp_stream_dsamp"
+    best = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "src" / "list.txt"),
+        str(workspace / "tgt" / "list.txt"),
+        str(workspace / "val" / "list.txt"),
+        "--exp_path", str(exp) + "/",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--num_segments", "3", "--val_segments", "3",
+        "--add_fc", "1", "--fc_dim", "16", "--feature_dim", "16",
+        "--use_target", "uSv", "--adv_DA", "RevGrad",
+        "--beta", "0.5", "0.5", "0.5",
+        "--lr", "0.1", "--epochs", "1", "-b", "8", "6", "8",
+        "--device_store", "--steps_per_call", "2", "--device_sampler",
+        "--store_budget_rows", "80",
+        "-pf", "1", "-sf", "100", "-ef", "1",
+    ])
+    assert best >= 0.0

@@ -299,3 +299,87 @@ def test_trainer_device_sampler_end_to_end(tmp_path):
     assert best >= 0.0
     for leaf in jax.tree_util.tree_leaves(tr.state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_streaming_sampler_matches_host_shard_stream_bitwise():
+    """StreamingDeviceSampler (deterministic mode) must reproduce the
+    host shard_index_epoch stream bitwise: same shard sequence, same
+    shard-local indices/labels/masks (VERDICT r2 next-#7)."""
+    from ta3n_tpu.data.device_sampler import StreamingDeviceSampler
+    from ta3n_tpu.data.streaming import ShardPlan
+    src, _, _ = make_domain_pair(num_source=23, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    host = _loader(src, bs=6, mode="test")
+    plan = ShardPlan(host.store.offsets, budget_rows=40)
+    assert plan.num_shards >= 3
+    dev = StreamingDeviceSampler(_loader(src, bs=6, mode="test"), plan,
+                                 seed=0)
+
+    # device-side chunk walk must visit the same (sid, j) sequence
+    walk = [(sid, j) for sid in range(dev.num_shards)
+            for j in range(dev.shard_steps(sid))]
+    host_stream = list(host.shard_index_epoch(plan))
+    assert len(walk) == len(host_stream)
+
+    batch_fn = jax.jit(lambda sid, j, step: dev.shard_batch(
+        sid, j, dev.shard_order(sid, jnp.asarray(0)), step))
+    for step, ((sid, j), (hsid, hb)) in enumerate(zip(walk, host_stream)):
+        assert sid == hsid
+        idx, lab, mask = batch_fn(jnp.asarray(sid), jnp.asarray(j),
+                                  jnp.asarray(step))
+        np.testing.assert_array_equal(np.asarray(idx), hb.abs_indices,
+                                      err_msg=f"shard {sid} batch {j}")
+        np.testing.assert_array_equal(np.asarray(lab), hb.labels)
+        np.testing.assert_array_equal(np.asarray(mask), hb.mask)
+
+
+def test_streaming_sampler_shuffle_covers_every_record_once():
+    from ta3n_tpu.data.device_sampler import StreamingDeviceSampler
+    from ta3n_tpu.data.streaming import ShardPlan
+    src, _, _ = make_domain_pair(num_source=23, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    ld = _loader(src, bs=6, mode="random", shuffle=True)
+    plan = ShardPlan(ld.store.offsets, budget_rows=40)
+    dev = StreamingDeviceSampler(ld, plan, seed=0)
+    seen = []
+    for sid in range(dev.num_shards):
+        order = dev.shard_order(jnp.asarray(sid), jnp.asarray(1))
+        count = int(dev.shard_counts_host[sid])
+        slots = np.asarray(order)[:count]
+        recs = np.asarray(dev.groups)[sid][slots]
+        # a shard's permutation covers exactly its own records
+        assert sorted(recs) == sorted(
+            np.asarray(dev.groups)[sid][:count].tolist())
+        seen.extend(recs.tolist())
+    assert sorted(seen) == list(range(23))
+    # different epochs -> different within-shard orders (statistically);
+    # pick the biggest shard (1-record shards have a unique permutation)
+    big = int(np.argmax(dev.shard_counts_host))
+    assert int(dev.shard_counts_host[big]) >= 2
+    orders = {tuple(np.asarray(dev.shard_order(jnp.asarray(big),
+                                               jnp.asarray(e))))
+              for e in range(8)}
+    assert len(orders) > 1
+
+
+def test_zip_shard_chunk_plan():
+    from ta3n_tpu.data.device_sampler import (StreamingDeviceSampler,
+                                              plan_zip_shard_chunks)
+    from ta3n_tpu.data.streaming import ShardPlan
+    src, tgt, _ = make_domain_pair(num_source=23, num_target=17, num_val=8,
+                                   num_class=3, feature_dim=FDIM)
+    ls, lt = _loader(src, bs=6), _loader(tgt, bs=4)
+    ps = ShardPlan(ls.store.offsets, budget_rows=40)
+    pt = ShardPlan(lt.store.offsets, budget_rows=40)
+    ds = StreamingDeviceSampler(ls, ps, seed=0)
+    dt = StreamingDeviceSampler(lt, pt, seed=0)
+    chunks = plan_zip_shard_chunks(ds, dt, steps_per_call=3)
+    total = sum(c[4] for c in chunks)
+    n_s = sum(ds.shard_steps(s) for s in range(ds.num_shards))
+    n_t = sum(dt.shard_steps(s) for s in range(dt.num_shards))
+    assert total == min(n_s, n_t)          # zip-shortest
+    for sid_s, j0_s, sid_t, j0_t, k in chunks:
+        assert 1 <= k <= 3
+        # a chunk never crosses a shard boundary in either stream
+        assert j0_s + k <= ds.shard_steps(sid_s)
+        assert j0_t + k <= dt.shard_steps(sid_t)

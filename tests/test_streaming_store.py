@@ -193,3 +193,46 @@ def test_shard_array_flow_store():
     a1 = plan.shard_array(feats, 1)
     assert a1.shape == (4, 2, 3)
     np.testing.assert_array_equal(a1[:4], feats[3:7])
+
+
+def test_trainer_streaming_device_sampler_bitwise_equals_host(tmp_path):
+    """Streaming + --device_sampler: shard-local batches generated ON
+    DEVICE must train bitwise-identically to the host shard stream in
+    deterministic mode (VERDICT r2 next-#7).  Constant schedules so the
+    two modes' scalar streams coincide exactly."""
+    def make(tag, device_sampler):
+        src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                         num_val=12, num_class=3,
+                                         feature_dim=FDIM, shift=0.8)
+        cfg = ModelConfig(num_class=3, baseline_type="video",
+                          frame_aggregation="trn-m", train_segments=SEG,
+                          val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                          use_attn="TransAttn", dropout_i=0.1,
+                          dropout_v=0.1)
+        da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+        tc = TrainConfig(lr=0.05, epochs=2, batch_size=(8, 6, 8),
+                         beta=(0.5, 0.5, 0.5))
+        ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test",
+                       shuffle=False, seed=1)
+        lt = TSNLoader(tgt, batch_size=6, num_segments=SEG, mode="test",
+                       shuffle=False, seed=2)
+        lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                       shuffle=False)
+        tr = Trainer(cfg, da, tc, ls, lt, lv,
+                     path_exp=str(tmp_path) + "/" + tag + "/",
+                     use_mesh=True, device_store=True,
+                     store_budget_rows=80, steps_per_call=2,
+                     device_sampler=device_sampler,
+                     eval_freq=1, print_freq=100, show_freq=100)
+        best = tr.fit()
+        return tr, best
+
+    tr_d, best_d = make("dev", True)
+    tr_h, best_h = make("host", False)
+    assert tr_d.shard_sampled_step is not None
+    assert tr_h.shard_sampled_step is None and tr_h.streaming
+    assert best_d == best_h
+    assert int(tr_d.state.step) == int(tr_h.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_d.state.params),
+                    jax.tree_util.tree_leaves(tr_h.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
