@@ -18,7 +18,7 @@ from ta3n_tpu.ops.gather_gemm import (gathered_gemm, gathered_gemm_reference,
 
 R, D, H = 20000, 2048, 512
 N = 640          # source stream: B=128 x S=5
-ITERS = 50
+ITERS = 1000   # chain must dwarf the +-10 ms tunnel roundtrip jitter
 
 
 def roundtrip():

@@ -71,3 +71,42 @@ def test_adversarial_da_beats_source_only():
         results
     assert float(np.mean(full_ta3n)) >= 85.0, results
     assert float(np.mean(source_only)) <= 88.0, results
+
+
+def _run_dan(seed: int = 0, epochs: int = 120, alpha: float = 0.2,
+             use_da: bool = True) -> float:
+    """The round-3 STABILIZED DAN configuration (BENCH_NOTES 'DAN
+    stabilized'): MMD on the aggregated layer only, alpha=0.2, lr=0.03.
+    alpha=1 (the reference default) collapses both domains' features to
+    a degenerate point on this benchmark; 0.2 keeps CE dominant."""
+    src, tgt, val = make_rotated_domain_pair(
+        num_source=128, num_target=128, num_val=128, num_class=4,
+        feature_dim=FDIM, angle_deg=60.0, centroid_scale=4.0, seed=seed)
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.0, dropout_v=0.0)
+    da = (DAConfig(use_target="uSv", dis_DA="DAN",
+                   place_dis=("N", "Y", "N"))
+          if use_da else DAConfig(use_target="none"))
+    tc = TrainConfig(lr=0.03, epochs=epochs, batch_size=(16, 16, 16),
+                     alpha=alpha, beta=(0.75, 0.75, 0.5), gamma=0.003)
+    ls = TSNLoader(src, batch_size=16, num_segments=SEG, mode="test",
+                   seed=seed + 1)
+    lt = TSNLoader(tgt, batch_size=16, num_segments=SEG, mode="test",
+                   seed=seed + 2)
+    lv = TSNLoader(val, batch_size=16, num_segments=SEG, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, use_mesh=True,
+                 eval_freq=max(epochs // 5, 1), print_freq=10 ** 9,
+                 show_freq=10 ** 9, seed=seed)
+    return tr.fit()
+
+
+def test_stabilized_dan_beats_source_only():
+    """Pins the stabilized DAN window (VERDICT r2 next-#4): measured
+    seed-0 gain +24.2 (74.2 -> 98.4); asserted with slack."""
+    source_only = _run_dan(seed=0, use_da=False)
+    dan = _run_dan(seed=0, use_da=True)
+    assert dan - source_only > 5.0, (source_only, dan)
+    assert dan >= 90.0, (source_only, dan)
