@@ -67,6 +67,9 @@ SEG, FDIM, NCLASS = 5, 2048, 12
 # videos/s vs K=16's 614k session record; K=32 591k) — the sweep lives
 # in BENCH_NOTES.md, the env knob covers tunnel drift
 K = int(os.environ.get("TA3N_BENCH_K", 64))  # optimizer steps/dispatch
+# scan unroll factor: >1 lets XLA fuse across step boundaries (r3 sweep
+# in BENCH_NOTES.md)
+UNROLL = int(os.environ.get("TA3N_BENCH_UNROLL", 1))
 # HBM store dtype: float32 (default; exact reference rows) or bfloat16
 # (--store_dtype production option: halves residency + gather bytes)
 STORE_DTYPE = os.environ.get("TA3N_BENCH_STORE_DTYPE", "float32")
@@ -156,7 +159,7 @@ def main():
         }))
         return
 
-    step = make_multi_train_step(model, da, tc)
+    step = make_multi_train_step(model, da, tc, unroll=UNROLL)
 
     g = np.random.default_rng(0)
     sdt = jnp.dtype(STORE_DTYPE)

@@ -26,7 +26,8 @@ import numpy as np
 BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12
 
 
-def build_step(k: int, compute_dtype: str, store_dtype: str = "float32"):
+def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
+               unroll: int = 1):
     from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
     from ta3n_tpu.models import VideoModel
     from ta3n_tpu.train import StepScalars, create_train_state
@@ -44,7 +45,7 @@ def build_step(k: int, compute_dtype: str, store_dtype: str = "float32"):
     model = VideoModel(cfg)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, rng, BS, BT, tc)
-    step = make_multi_train_step(model, da, tc)
+    step = make_multi_train_step(model, da, tc, unroll=unroll)
 
     g = np.random.default_rng(0)
     sdt = jnp.dtype(store_dtype)
@@ -94,11 +95,13 @@ def main():
     ap.add_argument("--prng_impl", default="rbg",
                     help="match bench.py's default (rbg)")
     ap.add_argument("--store_dtype", default="float32")
+    ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl", args.prng_impl)
 
     state, step, sargs, sc, rng = build_step(args.k, args.dtype,
-                                             args.store_dtype)
+                                             args.store_dtype,
+                                             args.unroll)
     (store_s, idx_s, ys, ms, store_t, idx_t, yt, mt) = sargs
 
     # compile + warm

@@ -535,7 +535,8 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
                           train_cfg: TrainConfig,
                           class_weights: Optional[jnp.ndarray] = None,
                           domain_weights: Optional[jnp.ndarray] = None,
-                          mesh=None, axis_name: str = "data"):
+                          mesh=None, axis_name: str = "data",
+                          unroll: int = 1):
     """K optimizer steps per dispatch: lax.scan over stacked index batches
     against HBM-resident stores.
 
@@ -572,7 +573,10 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
             return new_st, metrics
 
         xs = (idx_s, ys, mask_s, idx_t, yt, mask_t, scalars)
-        return jax.lax.scan(body, state, xs)
+        # unroll > 1 lets XLA fuse across step boundaries (e.g. step i's
+        # optimizer update with step i+1's forward), attacking the
+        # ~140 us sub-3 us op tail of the op-count-bound step
+        return jax.lax.scan(body, state, xs, unroll=unroll)
 
     return multi_step
 
