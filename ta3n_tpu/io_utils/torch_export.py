@@ -1,0 +1,211 @@
+"""Export TA3N-TPU parameters as a reference-format PyTorch checkpoint.
+
+The inverse of `torch_import.py`: produces a state_dict with the
+reference `VideoModel`'s exact key layout (models.py:58-325) wrapped in
+the reference's checkpoint dict ({epoch, arch, state_dict, best_prec1,
+prec1} with the DataParallel ``module.`` prefix, main.py:764-770), so a
+model trained here can be evaluated or fine-tuned with the reference's
+own torch tooling (test_models.py loads with strict
+load_state_dict, test_models.py:89-90).
+
+The reference's DEAD parameters (`fc_feature_source`,
+`fc_feature_video_source{,_2}`, target variants under share_params=N —
+never used in its forward, SURVEY §2.10) are synthesized with zeros in
+the shapes the reference constructs, because its strict load requires
+every key.  Conditional modules we don't hold parameters for (temconv
+extras, RNN BNs, AdaBN sites) simply stay absent — they only exist in
+reference configs whose live parameters we'd hold too.
+
+Round-trip contract (test-enforced):
+`import_torch_state_dict(export_state_dict(params, stats))` reproduces
+(params, stats) exactly, including the RNN fused-gate bias convention
+(our merged cell biases export as b_ih with b_hh zeroed — torch adds
+them, so the math is identical).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ta3n_tpu.io_utils.torch_import import _BN_DIRECT, _DENSE_DIRECT
+
+__all__ = ["export_state_dict", "save_torch_checkpoint"]
+
+
+def _w(kernel) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(kernel).T)
+
+
+def export_state_dict(params: Dict[str, Any],
+                      batch_stats: Optional[Dict[str, Any]] = None
+                      ) -> Dict[str, np.ndarray]:
+    batch_stats = batch_stats or {}
+    out: Dict[str, np.ndarray] = {}
+    consumed = set()
+
+    for name in _DENSE_DIRECT:
+        if name in params:
+            out[f"{name}.weight"] = _w(params[name]["kernel"])
+            out[f"{name}.bias"] = np.asarray(params[name]["bias"])
+            consumed.add(name)
+
+    for name in _BN_DIRECT:
+        if name in params:
+            out[f"{name}.weight"] = np.asarray(params[name]["scale"])
+            out[f"{name}.bias"] = np.asarray(params[name]["bias"])
+            st = batch_stats.get(name, {})
+            out[f"{name}.running_mean"] = np.asarray(
+                st.get("mean", np.zeros_like(params[name]["scale"])))
+            out[f"{name}.running_var"] = np.asarray(
+                st.get("var", np.ones_like(params[name]["scale"])))
+            out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+            consumed.add(name)
+
+    if "alpha" in params:
+        out["alpha"] = np.asarray(params["alpha"]).reshape(())
+        consumed.add("alpha")
+
+    trn = params.get("TRN", {})
+    if "fc_fusion" in trn:  # single-scale (TRNmodule.py:16-21)
+        out["TRN.classifier.1.weight"] = _w(trn["fc_fusion"]["kernel"])
+        out["TRN.classifier.1.bias"] = np.asarray(trn["fc_fusion"]["bias"])
+    i = 0
+    while f"w_scale_{i}" in trn:  # multi-scale (TRNmodule.py:45-54)
+        out[f"TRN.fc_fusion_scales.{i}.1.weight"] = _w(trn[f"w_scale_{i}"])
+        out[f"TRN.fc_fusion_scales.{i}.1.bias"] = np.asarray(
+            trn[f"b_scale_{i}"])
+        i += 1
+    if trn:
+        consumed.add("TRN")
+
+    i = 0
+    while f"relation_domain_fc1_{i}" in params:  # models.py:287-294
+        for our, slot in ((f"relation_domain_fc1_{i}", 0),
+                          (f"relation_domain_fc2_{i}", 2)):
+            out[f"relation_domain_classifier_all.{i}.{slot}.weight"] = _w(
+                params[our]["kernel"])
+            out[f"relation_domain_classifier_all.{i}.{slot}.bias"] = \
+                np.asarray(params[our]["bias"])
+            consumed.add(our)
+        i += 1
+
+    if "attn_layer" in params:  # models.py:320-325
+        al = params["attn_layer"]
+        out["attn_layer.0.weight"] = _w(al["attn_fc1"]["kernel"])
+        out["attn_layer.0.bias"] = np.asarray(al["attn_fc1"]["bias"])
+        out["attn_layer.2.weight"] = _w(al["attn_fc2"]["kernel"])
+        out["attn_layer.2.bias"] = np.asarray(al["attn_fc2"]["bias"])
+        consumed.add("attn_layer")
+
+    if "tcl_3_1" in params:  # flax [k,1,in,out] -> torch [out,in,k,1]
+        conv = params["tcl_3_1"]["Conv_0"]
+        out["tcl_3_1.conv2d.weight"] = np.ascontiguousarray(
+            np.asarray(conv["kernel"]).transpose(3, 2, 0, 1))
+        out["tcl_3_1.conv2d.bias"] = np.asarray(conv["bias"])
+        consumed.add("tcl_3_1")
+
+    if "rnn" in params:
+        _export_rnn(params["rnn"], out)
+        consumed.add("rnn")
+
+    for k in params:
+        if k not in consumed:
+            raise KeyError(f"no reference mapping for param collection "
+                           f"'{k}'")
+
+    _synthesize_dead(out)
+    return out
+
+
+def _export_rnn(rnn: Dict[str, Any], out: Dict[str, np.ndarray]) -> None:
+    """Per-gate flax cells -> torch fused-gate tensors.  Our cells hold
+    ONE merged bias per gate (import merged b_ih+b_hh); export it as
+    b_ih with b_hh zeroed — torch adds the two, so identical math."""
+    def layers(prefix):
+        n = 0
+        while f"{prefix}{n}" in rnn:
+            n += 1
+        return n
+
+    bidir = "cell_fwd_0" in rnn
+    n_layers = layers("cell_fwd_" if bidir else "cell_")
+
+    def put(cell: Dict[str, Any], suffix: str):
+        gru = "ir" in cell
+        if gru:  # torch gate order r, z, n
+            w_ih = np.concatenate([_w(cell[f"i{g}"]["kernel"])
+                                   for g in ("r", "z", "n")])
+            w_hh = np.concatenate([_w(cell[f"h{g}"]["kernel"])
+                                   for g in ("r", "z", "n")])
+            hdim = w_hh.shape[1]
+            b_ih = np.concatenate([np.asarray(cell["ir"]["bias"]),
+                                   np.asarray(cell["iz"]["bias"]),
+                                   np.asarray(cell["in"]["bias"])])
+            b_hh = np.concatenate([np.zeros(2 * hdim, b_ih.dtype),
+                                   np.asarray(cell["hn"]["bias"])])
+        else:  # LSTM gate order i, f, g, o
+            w_ih = np.concatenate([_w(cell[f"i{g}"]["kernel"])
+                                   for g in "ifgo"])
+            w_hh = np.concatenate([_w(cell[f"h{g}"]["kernel"])
+                                   for g in "ifgo"])
+            b_ih = np.concatenate([np.asarray(cell[f"h{g}"]["bias"])
+                                   for g in "ifgo"])
+            b_hh = np.zeros_like(b_ih)
+        out[f"rnn.weight_ih_{suffix}"] = w_ih
+        out[f"rnn.weight_hh_{suffix}"] = w_hh
+        out[f"rnn.bias_ih_{suffix}"] = b_ih
+        out[f"rnn.bias_hh_{suffix}"] = b_hh
+
+    for l in range(n_layers):
+        if bidir:
+            put(rnn[f"cell_fwd_{l}"], f"l{l}")
+            put(rnn[f"cell_bwd_{l}"], f"l{l}_reverse")
+        else:
+            put(rnn[f"cell_{l}"], f"l{l}")
+
+
+def _synthesize_dead(out: Dict[str, np.ndarray]) -> None:
+    """Reference-constructed but forward-dead Linears (SURVEY §2.10):
+    strict load_state_dict needs them; shapes mirror live layers."""
+    def dead_like(dead_name: str, like_weight: str):
+        w = out[like_weight]
+        out[f"{dead_name}.weight"] = np.zeros_like(w)
+        out[f"{dead_name}.bias"] = np.zeros(w.shape[0], w.dtype)
+
+    share_n = "fc_classifier_target.weight" in out
+    if "fc_feature_domain.weight" in out:
+        dead_like("fc_feature_source", "fc_feature_domain.weight")
+        if share_n:
+            dead_like("fc_feature_target", "fc_feature_domain.weight")
+    if "fc_feature_domain_video.weight" in out:
+        w = out["fc_feature_domain_video.weight"]
+        dead_like("fc_feature_video_source", "fc_feature_domain_video.weight")
+        sq = np.zeros((w.shape[0], w.shape[0]), w.dtype)
+        out["fc_feature_video_source_2.weight"] = sq
+        out["fc_feature_video_source_2.bias"] = np.zeros(w.shape[0], w.dtype)
+        if share_n:
+            dead_like("fc_feature_video_target",
+                      "fc_feature_domain_video.weight")
+            out["fc_feature_video_target_2.weight"] = sq.copy()
+            out["fc_feature_video_target_2.bias"] = np.zeros(w.shape[0],
+                                                             w.dtype)
+
+
+def save_torch_checkpoint(path: str, params: Dict[str, Any],
+                          batch_stats: Optional[Dict[str, Any]] = None,
+                          epoch: int = 0, arch: str = "resnet101",
+                          best_prec1: float = 0.0, prec1: float = 0.0,
+                          module_prefix: bool = True) -> None:
+    """Write a reference-format .pth.tar (main.py:764-770).  The
+    reference strips a DataParallel ``module.`` prefix at load
+    (test_models.py:89-90), so one is added by default."""
+    import torch
+    sd = export_state_dict(params, batch_stats)
+    prefix = "module." if module_prefix else ""
+    tensors = {prefix + k: torch.from_numpy(
+        np.array(v, copy=True))  # copy: jax arrays are non-writable
+               for k, v in sd.items()}
+    torch.save({"epoch": epoch, "arch": arch, "state_dict": tensors,
+                "best_prec1": best_prec1, "prec1": prec1}, path)
