@@ -170,6 +170,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'modes); random-mode sampling uses a keyed '
                              'PRNG stream (deterministic per seed, '
                              'distribution-equal to the host sampler)')
+    parser.add_argument('--model_parallel', type=int, default=1,
+                        help='tensor parallelism degree: devices form a '
+                             '(data x model) mesh; large dense kernels '
+                             'are column-sharded over the model axis '
+                             '(XLA inserts the collectives). 1 = pure '
+                             'data parallelism')
     parser.add_argument('--accum_steps', type=int, default=1,
                         help='gradient accumulation: average gradients '
                              'over this many consecutive micro-batch '

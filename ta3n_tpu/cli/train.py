@@ -81,6 +81,7 @@ def main(argv=None):
                       store_dtype=args.store_dtype,
                       device_sampler=args.device_sampler,
                       accum_steps=args.accum_steps,
+                      model_parallel=args.model_parallel,
                       seed=args.seed,
                       prefetch_depth=max(1, args.workers))
 

@@ -20,14 +20,32 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "pad_to_multiple", "shard_train_step"]
+__all__ = ["make_mesh", "make_mesh_2d", "batch_sharding",
+           "replicated_sharding", "pad_to_multiple", "shard_train_step"]
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis_name: str = "data") -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
+                 model_parallel: int = 1,
+                 axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """(data x model) mesh: batch sharded over 'data', large weight
+    matrices column-sharded over 'model' (tensor parallelism — capability
+    beyond the reference's DataParallel-only scaling, SURVEY §2.9).  XLA
+    inserts the activation all-gathers / gradient reduce-scatters from
+    the in_shardings; on hardware the 'model' axis should map to the
+    faster ICI ring."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel="
+                         f"{model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, tuple(axis_names))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

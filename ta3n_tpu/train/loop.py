@@ -120,7 +120,8 @@ class Trainer:
                  store_budget_rows: Optional[int] = None,
                  store_dtype: Optional[str] = None,
                  device_sampler: bool = False,
-                 accum_steps: int = 1):
+                 accum_steps: int = 1,
+                 model_parallel: int = 1):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -161,16 +162,28 @@ class Trainer:
         self.batch_sharding = None
         store_sharding = None
         if use_mesh and len(devices) > 1:
-            from ta3n_tpu.parallel import (batch_sharding, pad_to_multiple,
+            from ta3n_tpu.parallel import (batch_sharding, make_mesh_2d,
+                                           pad_to_multiple,
                                            replicated_sharding)
-            self.mesh = make_mesh(devices)
-            n_dev = len(devices)
+            if model_parallel > 1:
+                # (data x model) mesh: batch over 'data', large dense
+                # kernels column-sharded over 'model' (tensor
+                # parallelism — train/step.py::_tp_param_constrainer)
+                self.mesh = make_mesh_2d(devices, model_parallel)
+            else:
+                self.mesh = make_mesh(devices)
+            n_shard = int(self.mesh.shape["data"])
             self.batch_sharding = batch_sharding(self.mesh)
             store_sharding = replicated_sharding(self.mesh)
-            # device-count divisibility via masked padding (the static
-            # analogue of main.py:366-372)
+            # batch divisibility by the DATA axis via masked padding (the
+            # static analogue of main.py:366-372)
             for loader in (source_loader, target_loader, val_loader):
-                loader.pad_to = pad_to_multiple(loader.batch_size, n_dev)
+                loader.pad_to = pad_to_multiple(loader.batch_size, n_shard)
+            if model_parallel > 1:
+                # TP state in_shardings are unspecified — place the fresh
+                # (single-device) state replicated so the first call
+                # doesn't pin un-constrained leaves to one device
+                self.state = jax.device_put(self.state, store_sharding)
 
         # every step is built mesh-aware (in_shardings compiled in):
         # batch axes sharded, state/stores replicated — including the

@@ -35,6 +35,59 @@ __all__ = ["TrainState", "StepScalars", "create_train_state",
            "make_train_step", "make_eval_step", "topk_correct"]
 
 
+def _tp_size(mesh) -> int:
+    """Model-parallel degree of a mesh (1 = pure DP)."""
+    if mesh is None or "model" not in mesh.axis_names:
+        return 1
+    return int(mesh.shape["model"])
+
+
+# kernels below this element count stay replicated under TP (collective
+# cost would exceed the FLOP split); module-level so tests with tiny
+# models can lower it
+_TP_MIN_SIZE = 2 ** 19
+
+
+def _tp_param_constrainer(mesh, min_size: Optional[int] = None):
+    """Tensor parallelism (capability beyond the reference's
+    DataParallel-only scaling, SURVEY §2.9): returns a params->params
+    function that column-shards every large 2-D dense kernel over the
+    mesh's 'model' axis via with_sharding_constraint — XLA GSPMD then
+    derives the activation/gradient collectives and the matching
+    optimizer-state shardings by propagation.  TRN fusion weights stay
+    replicated (they feed the Pallas kernel, which consumes local
+    arrays); biases and small layers stay replicated (collective cost
+    would exceed the FLOP split).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    tp = _tp_size(mesh)
+    if tp <= 1:
+        return lambda params: params
+    col = NamedSharding(mesh, P(None, "model"))
+
+    rep = NamedSharding(mesh, P())
+
+    def constrain(params):
+        threshold = _TP_MIN_SIZE if min_size is None else min_size
+
+        def rule(path, leaf):
+            names = [str(getattr(p, "key", getattr(p, "name", "")))
+                     for p in path]
+            if ("TRN" not in names
+                    and getattr(leaf, "ndim", 0) == 2 and names
+                    and names[-1] == "kernel" and leaf.size >= threshold
+                    and leaf.shape[1] % tp == 0):
+                return jax.lax.with_sharding_constraint(leaf, col)
+            # pin everything else replicated: without this, GSPMD
+            # propagates 'model' shardings onto biases/small layers in
+            # the OUTPUT state, which downstream (eval/serve) consumers
+            # with replicated in_shardings then reject
+            return jax.lax.with_sharding_constraint(leaf, rep)
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    return constrain
+
+
 def _mesh_shardings(mesh, axis_name: str = "data"):
     """(replicated, batch-sharded, K-stacked-batch-sharded) NamedShardings.
 
@@ -405,35 +458,46 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
             metrics["feat_t"] = out_t.feat[fi]
         return loss, (new_stats, metrics)
 
+    tp_constrain = _tp_param_constrainer(mesh)
+
     def _run(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
              scalars: StepScalars, rng):
         # fold the step counter in ON DEVICE: the caller passes the same
         # rng array every step (no per-step host->device transfers, which
         # serialize the dispatch pipeline on tunneled runtimes)
         rng = jax.random.fold_in(rng, state.step)
+        # tensor parallelism: large dense kernels column-sharded over the
+        # mesh's 'model' axis (no-op on 1-D/DP meshes)
+        params = tp_constrain(state.params)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,
+            params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,
             scalars, rng)
         if hasattr(tx, "update_and_apply"):  # flat path: fused lr apply
             new_params, new_opt = tx.update_and_apply(
-                grads, state.opt_state, state.params, scalars.lr)
+                grads, state.opt_state, params, scalars.lr)
         else:
-            updates, new_opt = tx.update(grads, state.opt_state,
-                                         state.params)
-            new_params = apply_updates_with_lr(state.params, updates,
+            updates, new_opt = tx.update(grads, state.opt_state, params)
+            new_params = apply_updates_with_lr(params, updates,
                                                scalars.lr)
-        return TrainState(new_params, new_stats, new_opt,
+        return TrainState(tp_constrain(new_params), new_stats, new_opt,
                           state.step + 1), metrics
+
+    # TP mode: state in/out shardings are UNSPECIFIED (None) — the
+    # in-step constraints shard the large kernels and GSPMD propagates
+    # matching momentum shardings; pinning the state to rep here would
+    # force an all-gather/reshard ping-pong every step
+    st_sh = None if _tp_size(mesh) > 1 else "rep"
 
     if not gather_on_device:
         jit_kwargs = {}
         if mesh is not None:
             rep, data, _ = _mesh_shardings(mesh, axis_name)
+            st = rep if st_sh == "rep" else None
             jit_kwargs = dict(
-                in_shardings=(rep, data, data, data, data, data, data,
+                in_shardings=(st, data, data, data, data, data, data,
                               rep, rep),
-                out_shardings=(rep, rep))
+                out_shardings=(st, rep))
         jitted = jax.jit(_run, donate_argnums=(0,), **jit_kwargs)
         jitted.loss_fn = loss_fn
         jitted.tx = tx
@@ -454,10 +518,11 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         # stores replicated (each chip gathers its own B/n rows locally),
         # index/label/mask batches sharded on the leading batch axis
         rep, data, _ = _mesh_shardings(mesh, axis_name)
+        st = rep if st_sh == "rep" else None
         jit_kwargs = dict(
-            in_shardings=(rep, rep, data, data, data, rep, data, data,
+            in_shardings=(st, rep, data, data, data, rep, data, data,
                           data, rep, rep),
-            out_shardings=(rep, rep))
+            out_shardings=(st, rep))
 
     @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def train_step_gather(state: TrainState, store_s, idx_s, ys, mask_s,
@@ -553,15 +618,17 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
     the single-step sharded path (replaces main.py:79 DataParallel).
     """
     step_fn = make_train_step(model, da, train_cfg, class_weights,
-                              domain_weights, gather_on_device=True).raw
+                              domain_weights, gather_on_device=True,
+                              mesh=mesh, axis_name=axis_name).raw
 
     jit_kwargs = {}
     if mesh is not None:
         rep, _, kdata = _mesh_shardings(mesh, axis_name)
+        st = None if _tp_size(mesh) > 1 else rep
         jit_kwargs = dict(
-            in_shardings=(rep, rep, kdata, kdata, kdata, rep, kdata,
+            in_shardings=(st, rep, kdata, kdata, kdata, rep, kdata,
                           kdata, kdata, rep, rep),
-            out_shardings=(rep, rep))
+            out_shardings=(st, rep))
 
     @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def multi_step(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
@@ -612,7 +679,8 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
             "target batches silently desync from their epoch "
             "permutation")
     step_fn = make_train_step(model, da, train_cfg, class_weights,
-                              domain_weights, gather_on_device=True).raw
+                              domain_weights, gather_on_device=True,
+                              mesh=mesh, axis_name=axis_name).raw
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -684,7 +752,8 @@ def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
                     sid_s, j0_s, sid_t, j0_t) -> (state, metrics [K])
     """
     step_fn = make_train_step(model, da, train_cfg, class_weights,
-                              domain_weights, gather_on_device=True).raw
+                              domain_weights, gather_on_device=True,
+                              mesh=mesh, axis_name=axis_name).raw
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -751,8 +820,9 @@ def make_multi_eval_step(model: VideoModel,
     jit_kwargs = {}
     if mesh is not None:
         rep, _, kdata = _mesh_shardings(mesh, axis_name)
+        pst = None if _tp_size(mesh) > 1 else rep
         jit_kwargs = dict(
-            in_shardings=(rep, rep, rep, kdata, kdata, kdata),
+            in_shardings=(pst, pst, rep, kdata, kdata, kdata),
             out_shardings=rep)
 
     @partial(jax.jit, **jit_kwargs)
@@ -798,10 +868,13 @@ def make_eval_step(model: VideoModel,
     jit_kwargs = {}
     if mesh is not None:
         rep, data, _ = _mesh_shardings(mesh, axis_name)
+        # TP meshes: params arrive with their training shardings (large
+        # kernels column-sharded over 'model') — accept them as-is
+        pst = None if _tp_size(mesh) > 1 else rep
         if gather_on_device:
-            in_sh = (rep, rep, rep, data, data, data)
+            in_sh = (pst, pst, rep, data, data, data)
         else:
-            in_sh = (rep, rep, data, data, data)
+            in_sh = (pst, pst, data, data, data)
         jit_kwargs = dict(in_shardings=in_sh, out_shardings=rep)
 
     def _eval(params, batch_stats, x, y, mask):

@@ -241,3 +241,109 @@ def test_adabn_batch_stats_sharded_matches_single_device():
                     jax.tree_util.tree_leaves(st8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_step_matches_single_device(monkeypatch):
+    """(4 data x 2 model) mesh: large dense kernels column-sharded over
+    the 'model' axis must reproduce the single-device update exactly —
+    tensor parallelism beyond the reference's DataParallel (SURVEY
+    §2.9).  The TP size threshold is lowered so the tiny test model's
+    [16,16] kernels shard."""
+    import ta3n_tpu.train.step as step_mod
+    from ta3n_tpu.parallel import make_mesh_2d
+    monkeypatch.setattr(step_mod, "_TP_MIN_SIZE", 16)
+
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(16, 16, 16))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    gen = np.random.default_rng(0)
+    xs, ys, ms = _batch(gen, 16, 13, 4)
+    xt, yt, mt = _batch(gen, 16, 11, 4)
+    sc = StepScalars(jnp.array([0.5, 0.5, 0.5]), jnp.asarray(0.0),
+                     jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.1))
+
+    state = create_train_state(model, rng, 16, 16, tc)
+    step = make_train_step(model, da, tc)
+    s_single = state
+    for _ in range(3):
+        s_single, m_single = step(s_single, xs, ys, ms, xt, yt, mt, sc,
+                                  rng)
+
+    mesh = make_mesh_2d(model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    state2 = create_train_state(model, rng, 16, 16, tc)
+    state2 = jax.device_put(state2, replicated_sharding(mesh))
+    step_tp = make_train_step(model, da, tc, mesh=mesh)
+    s_tp = state2
+    for _ in range(3):
+        s_tp, m_tp = step_tp(s_tp, xs, ys, ms, xt, yt, mt, sc, rng)
+
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_tp["loss"]), rtol=1e-5)
+    # the big kernels really are sharded over 'model'
+    from jax.sharding import PartitionSpec as P
+    sharded = [p for p, v in
+               jax.tree_util.tree_leaves_with_path(s_tp.params)
+               if getattr(v, "ndim", 0) == 2
+               and v.sharding.spec == P(None, "model")]
+    assert sharded, "no kernel was tensor-sharded"
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tensor_parallel_multi_step_device_store(monkeypatch):
+    """TP through the K-step device-store production path."""
+    import ta3n_tpu.train.step as step_mod
+    from ta3n_tpu.parallel import make_mesh_2d
+    from ta3n_tpu.train.step import make_multi_train_step
+    monkeypatch.setattr(step_mod, "_TP_MIN_SIZE", 16)
+
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(16, 16, 16))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    K = 2
+    gen = np.random.default_rng(0)
+    store_s = jnp.asarray(gen.normal(size=(64, FDIM)).astype(np.float32))
+    store_t = jnp.asarray(gen.normal(size=(48, FDIM)).astype(np.float32))
+    idx_s = gen.integers(0, 64, size=(K, 16, SEG)).astype(np.int32)
+    idx_t = gen.integers(0, 48, size=(K, 16, SEG)).astype(np.int32)
+    ys = gen.integers(0, 4, size=(K, 16)).astype(np.int32)
+    yt = gen.integers(0, 4, size=(K, 16)).astype(np.int32)
+    ms = np.ones((K, 16), np.float32)
+    mt = np.ones((K, 16), np.float32)
+    sc = StepScalars(np.tile(np.float32([0.5, 0.5, 0.5]), (K, 1)),
+                     np.zeros(K, np.float32), np.zeros(K, np.float32),
+                     np.zeros(K, np.float32), np.full(K, 0.1, np.float32))
+
+    state = create_train_state(model, rng, 16, 16, tc)
+    plain = make_multi_train_step(model, da, tc)
+    s1, m1 = plain(state, store_s, idx_s, ys, ms, store_t, idx_t, yt, mt,
+                   sc, rng)
+
+    mesh = make_mesh_2d(model_parallel=2)
+    state2 = create_train_state(model, rng, 16, 16, tc)
+    state2 = jax.device_put(state2, replicated_sharding(mesh))
+    tp = make_multi_train_step(model, da, tc, mesh=mesh)
+    s2, m2 = tp(state2, store_s, idx_s, ys, ms, store_t, idx_t, yt, mt,
+                sc, rng)
+
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
