@@ -135,11 +135,85 @@ def run_worker(process_id: int, num_processes: int, port: int,
     leaves = jax.tree_util.tree_leaves(state.params)
     flat = np.concatenate([
         np.asarray(leaf.addressable_data(0)).ravel() for leaf in leaves])
+
+    # TENSOR-PARALLEL across processes: the same 8 global devices
+    # reshaped (4 data x 2 model); large kernels column-shard over
+    # 'model' (intra-process pairs), batch still split per host.
+    tp_flat, tp_loss = _run_tp_section(jax)
+
     np.savez(out_path, params=flat, loss=last_loss,
+             tp_params=tp_flat, tp_loss=tp_loss,
              n_devices=len(jax.devices()),
              n_processes=jax.process_count())
     print(f"[worker {process_id}] done: {flat.size} params, "
-          f"loss {last_loss:.6f}", flush=True)
+          f"loss {last_loss:.6f}, tp_loss {tp_loss:.6f}", flush=True)
+
+
+def _run_tp_section(jax):
+    import ta3n_tpu.train.step as step_mod
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+    from ta3n_tpu.models import VideoModel
+    from ta3n_tpu.parallel import make_mesh_2d
+    from ta3n_tpu.parallel.distributed import host_batch_slice
+    from ta3n_tpu.train import StepScalars, create_train_state
+    from ta3n_tpu.train.step import make_train_step
+
+    step_mod._TP_MIN_SIZE = 16   # tiny dims must shard too
+    cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=FC, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(optimizer="SGD", lr=0.05,
+                     batch_size=(BS, BT, BS))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    mesh2 = make_mesh_2d(jax.devices(), model_parallel=2)
+    rep2 = NamedSharding(mesh2, P())
+
+    def rep_global(x):
+        return jax.make_array_from_process_local_data(rep2, np.asarray(x))
+
+    def data_global(x):
+        lo, hi = host_batch_slice(x.shape[0])
+        spec = P(*(["data"] + [None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh2, spec), np.ascontiguousarray(x[lo:hi]),
+            x.shape)
+
+    state = create_train_state(model, rng, BS, BT, tc)
+    state = jax.tree_util.tree_map(rep_global, state)
+    step = make_train_step(model, da, tc, mesh=mesh2)
+
+    g = np.random.default_rng(99)
+    xs = g.normal(size=(BS, SEG, FDIM)).astype(np.float32)
+    xt = g.normal(size=(BT, SEG, FDIM)).astype(np.float32)
+    ys = g.integers(0, NCLASS, size=BS).astype(np.int32)
+    yt = g.integers(0, NCLASS, size=BT).astype(np.int32)
+    ones_s = np.ones(BS, np.float32)
+    ones_t = np.ones(BT, np.float32)
+    sc = StepScalars(np.float32([0.75, 0.75, 0.5]), np.float32(0.0),
+                     np.float32(0.0), np.float32(0.003), np.float32(0.05))
+    sc = jax.tree_util.tree_map(rep_global, sc)
+    rng_g = rep_global(rng)
+
+    loss = None
+    for _ in range(2):
+        state, m = step(state, data_global(xs), data_global(ys),
+                        data_global(ones_s), data_global(xt),
+                        data_global(yt), data_global(ones_t), sc, rng_g)
+        loss = float(np.asarray(m["loss"].addressable_data(0)))
+
+    # gather the (possibly model-sharded) params to replicated so every
+    # process can compare the FULL parameter vector
+    collect = jax.jit(lambda t: t, out_shardings=rep2)
+    full = collect(state.params)
+    flat = np.concatenate([
+        np.asarray(leaf.addressable_data(0)).ravel()
+        for leaf in jax.tree_util.tree_leaves(full)])
+    return flat, loss
 
 
 def _spawn(args_list, device_count: int):
@@ -188,17 +262,25 @@ def orchestrate(json_path: str | None = None, timeout: int = 900) -> dict:
     assert int(r0["n_processes"]) == 2 and int(r0["n_devices"]) == 8
     max_dev = float(np.max(np.abs(r0["params"] - oracle["params"])))
     cross_dev = float(np.max(np.abs(r0["params"] - r1["params"])))
+    tp_dev = float(np.max(np.abs(r0["tp_params"] - oracle["tp_params"])))
+    tp_cross = float(np.max(np.abs(r0["tp_params"] - r1["tp_params"])))
     result = {
-        "ok": bool(max_dev < 1e-5 and cross_dev < 1e-6),
+        "ok": bool(max_dev < 1e-5 and cross_dev < 1e-6
+                   and tp_dev < 1e-5 and tp_cross < 1e-6),
         "what": "2-process jax.distributed CPU mesh (4+4 devices) runs "
                 f"{CALLS}x{K} flagship device-store multi-steps with "
                 "per-host host_batch_slice feeding; parameters vs the "
-                "single-process 8-device oracle",
+                "single-process 8-device oracle.  Plus a TENSOR-PARALLEL "
+                "section: the same global devices reshaped (4 data x 2 "
+                "model), large kernels column-sharded across processes",
         "n_params": int(oracle["params"].size),
         "max_param_dev_vs_single_process": max_dev,
         "max_param_dev_between_processes": cross_dev,
+        "tp_max_param_dev_vs_single_process": tp_dev,
+        "tp_max_param_dev_between_processes": tp_cross,
         "oracle_loss": float(oracle["loss"]),
         "multihost_loss": float(r0["loss"]),
+        "tp_loss": float(r0["tp_loss"]),
     }
     if json_path:
         with open(json_path, "w") as f:
