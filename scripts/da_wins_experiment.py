@@ -123,8 +123,12 @@ def main():
                 cache = json.load(f)
 
     def cached_source_only(seed):
+        # key over EVERY flag that changes the source-only arm
         key = (f"s{seed}_a{args.angle}_v{args.videos}_e{args.epochs}"
-               f"_lr{args.lr}_c{args.centroid_scale}_d{args.dropout}")
+               f"_lr{args.lr}_c{args.centroid_scale}_d{args.dropout}"
+               f"_fc{args.fc_dim}_nc{args.num_class}_g{args.gamma}"
+               f"_dl{int(args.dann_lr)}_m{int(args.mesh)}"
+               f"_ft{int(args.fix_task)}_ct{args.compute_dtype}")
         if key not in cache:
             cache[key] = run_one(seed, False, args)
             if args.source_cache:

@@ -27,7 +27,10 @@ CALLS = 10
 
 def device_time_us(fn, *args) -> dict:
     out = fn(*args)
-    jax.block_until_ready(out)
+    # force REAL completion of the warmup: block_until_ready returns at
+    # enqueue-ack on this runtime (CLAUDE.md) and would let warmup ops
+    # bleed into the trace
+    _ = float(jnp.sum(out[0]))
     tdir = tempfile.mkdtemp(prefix="gg_prof_")
     jax.profiler.start_trace(tdir)
     for _ in range(CALLS):

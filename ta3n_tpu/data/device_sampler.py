@@ -222,20 +222,6 @@ class StreamingDeviceSampler(DeviceSampler):
         """Batches shard ``sid`` contributes per epoch (host int)."""
         return int(-(-int(self.shard_counts_host[sid]) // self.batch_size))
 
-    def chunk_plan(self, steps_per_call: int):
-        """Host-side chunk descriptors for one epoch: a list of
-        (sid, j0, k) with chunks never spanning shards (one resident
-        shard per compiled scan — the ShardStream contract)."""
-        chunks = []
-        for sid in range(self.num_shards):
-            n = self.shard_steps(sid)
-            j = 0
-            while j < n:
-                k = min(steps_per_call, n - j)
-                chunks.append((sid, j, k))
-                j += k
-        return chunks
-
     def shard_order(self, sid: jax.Array, epoch: jax.Array) -> jax.Array:
         """Within-shard record visit order for one epoch ([Gmax] int32
         slot indices into groups[sid]; invalid slots sort last)."""

@@ -68,16 +68,22 @@ def export_state_dict(params: Dict[str, Any],
         consumed.add("alpha")
 
     trn = params.get("TRN", {})
+    trn_consumed = set()
     if "fc_fusion" in trn:  # single-scale (TRNmodule.py:16-21)
         out["TRN.classifier.1.weight"] = _w(trn["fc_fusion"]["kernel"])
         out["TRN.classifier.1.bias"] = np.asarray(trn["fc_fusion"]["bias"])
+        trn_consumed.add("fc_fusion")
     i = 0
     while f"w_scale_{i}" in trn:  # multi-scale (TRNmodule.py:45-54)
         out[f"TRN.fc_fusion_scales.{i}.1.weight"] = _w(trn[f"w_scale_{i}"])
         out[f"TRN.fc_fusion_scales.{i}.1.bias"] = np.asarray(
             trn[f"b_scale_{i}"])
+        trn_consumed.update((f"w_scale_{i}", f"b_scale_{i}"))
         i += 1
     if trn:
+        extra = set(trn) - trn_consumed
+        if extra:  # don't silently drop an unmapped TRN tensor
+            raise KeyError(f"no reference mapping for TRN params {extra}")
         consumed.add("TRN")
 
     i = 0

@@ -161,6 +161,13 @@ class Trainer:
         self.mesh = None
         self.batch_sharding = None
         store_sharding = None
+        if model_parallel > 1 and not (use_mesh and len(devices) > 1):
+            import warnings
+            warnings.warn(
+                f"--model_parallel {model_parallel} ignored: requires a "
+                f"multi-device mesh (use_mesh={use_mesh}, "
+                f"{len(devices)} device(s) visible) — training proceeds "
+                "without tensor parallelism", stacklevel=2)
         if use_mesh and len(devices) > 1:
             from ta3n_tpu.parallel import (batch_sharding, make_mesh_2d,
                                            pad_to_multiple,
@@ -339,6 +346,8 @@ class Trainer:
             self.multi_eval_step = make_multi_eval_step(self.model, cw,
                                                         mesh=self.mesh)
 
+        self._profile_chunks_seen = 0
+        self._profile_done = False
         self.lr_current = train_cfg.lr
         self.best_prec1 = 0.0
         self.start_epoch = 1
@@ -393,9 +402,13 @@ class Trainer:
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "loss_c", "loss_d",
                    "loss_a", "loss_e", "loss_s", "top1", "top5")}
-        if self.shard_sampled_step is not None:
-            len_loader = self._stream_spe
-        elif self.streaming:
+        if self.streaming:
+            # schedule denominator: the SOURCE stream's length, like the
+            # reference (main.py:347 uses len(source_loader)) and the
+            # host streaming path — the device-sampled variant keeps its
+            # separate zip-truncated spe (self._stream_spe) ONLY for the
+            # on-device epoch derivation, so the two streaming modes'
+            # beta/lr schedules stay bitwise-identical
             len_loader = self.source_loader.shard_epoch_len(self._plan_s)
         else:
             len_loader = len(self.source_loader)
@@ -594,19 +607,15 @@ class Trainer:
 
     def _maybe_profile_chunk(self, epoch, n_chunks) -> bool:
         """--profile_dir window for the K-step paths: trace the SECOND
-        chunk of the first epoch (the first chunk compiles).  When the
-        epoch has only ONE chunk (spe <= steps_per_call) fall back to the
-        first chunk of the SECOND epoch, so a trace is always produced.
-        The single-step path has its own steps-2..7 window."""
-        if not self.profile_dir:
+        chunk dispatched in this run, whatever epoch it falls in (the
+        first chunk compiles) — mode-agnostic, so single-chunk epochs
+        and streaming shard plans all still produce a trace.  The
+        single-step path has its own steps-2..7 window."""
+        if not self.profile_dir or self._profile_done:
             return False
-        spe = min(len(self.source_loader), len(self.target_loader))
-        single_chunk_epoch = spe <= self.steps_per_call
-        if single_chunk_epoch:
-            hit = epoch == self.start_epoch + 1 and n_chunks == 0
-        else:
-            hit = epoch == self.start_epoch and n_chunks == 1
-        if hit:
+        self._profile_chunks_seen += 1
+        if self._profile_chunks_seen == 2:
+            self._profile_done = True
             jax.profiler.start_trace(self.profile_dir)
             return True
         return False
@@ -727,17 +736,22 @@ class Trainer:
         chunk = []
         i = 0
 
+        def scalars_at(step_i):
+            p = progress(step_i, start_steps, total_steps)
+            beta = effective_beta(tc.beta, p)
+            return StepScalars(np.asarray(beta, np.float32),
+                               np.float32(tc.mu), np.float32(alpha),
+                               np.float32(tc.gamma),
+                               np.float32(self.lr_current)), p, beta
+
         def run_chunk(chunk):
             nonlocal last_line, end, i
-            p = progress(i, start_steps, total_steps)
-            beta = effective_beta(tc.beta, p)
-            scalars = StepScalars(np.asarray(beta, np.float32),
-                                  np.float32(tc.mu), np.float32(alpha),
-                                  np.float32(tc.gamma),
-                                  np.float32(self.lr_current))
             bs_list, bt_list = zip(*chunk)
             k = len(chunk)
             if k == G:
+                # one UPDATE: scalars evaluated once at the chunk's first
+                # micro-step index, lr decays once
+                scalars, p, beta = scalars_at(i)
                 stack = lambda xs: np.stack(xs)
                 self.state, m = self.accum_step(
                     self.state,
@@ -750,14 +764,19 @@ class Trainer:
                     scalars, self.rng)
                 pending.append(("stacked", m, k))
                 _start_async_fetch(m)
-            else:  # tail: plain per-batch updates
-                for bs, bt in chunk:
+                if tc.lr_adaptive == "dann":  # per-UPDATE lr decay
+                    self.lr_current = dann_lr(tc.lr, p)
+            else:  # tail: plain per-batch updates, per-step schedules
+                for j, (bs, bt) in enumerate(chunk):
+                    scalars, p, beta = scalars_at(i + j)
                     self.state, m = self.train_step(
                         self.state, bs.features, bs.labels, bs.mask,
                         bt.features, bt.labels, bt.mask, scalars,
                         self.rng)
                     pending.append(m)
                     _start_async_fetch(m)
+                    if tc.lr_adaptive == "dann":
+                        self.lr_current = dann_lr(tc.lr, p)
             meters["batch_time"].update((time.time() - end) / k, k)
             end = time.time()
             i += k
@@ -768,8 +787,6 @@ class Trainer:
                 if self.logs:
                     self.logs.write("train.log", last_line)
                 print(last_line)
-            if tc.lr_adaptive == "dann":  # per-UPDATE lr decay
-                self.lr_current = dann_lr(tc.lr, p)
 
         for bs, bt in pairs:
             chunk.append((bs, bt))
@@ -1019,6 +1036,14 @@ class Trainer:
                 self.tb.write_best_text(self.best_prec1, epoch)
                 if self.save_model:
                     self.save(epoch, prec1, is_best)
+        if (self.profile_dir and not self._profile_done
+                and self.steps_per_call > 1):
+            import warnings
+            warnings.warn(
+                "--profile_dir produced no trace: the run dispatched "
+                f"only {self._profile_chunks_seen} chunk(s) and the "
+                "first chunk (compilation) is never traced — run at "
+                "least 2 chunks", stacklevel=2)
         if self.logs:
             self.logs.write_best(self.best_prec1)
         if self.save_attention >= 0 and self.attn_epoch_source:

@@ -88,6 +88,20 @@ def _tp_param_constrainer(mesh, min_size: Optional[int] = None):
     return constrain
 
 
+def _batch_constrainer(mesh, axis_name: str = "data"):
+    """Leading-axis sharding constraint for batches generated INSIDE a
+    jitted program (the device samplers); identity without a mesh."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(x):
+        spec = P(*([axis_name] + [None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh,
+                                                                 spec))
+    return constrain
+
+
 def _mesh_shardings(mesh, axis_name: str = "data"):
     """(replicated, batch-sharded, K-stacked-batch-sharded) NamedShardings.
 
@@ -682,16 +696,7 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
                               domain_weights, gather_on_device=True,
                               mesh=mesh, axis_name=axis_name).raw
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def constrain(x):
-            spec = P(*([axis_name] + [None] * (x.ndim - 1)))
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, spec))
-    else:
-        def constrain(x):
-            return x
+    constrain = _batch_constrainer(mesh, axis_name)
 
     jit_kwargs = {}
     if mesh is not None:
@@ -755,16 +760,7 @@ def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
                               domain_weights, gather_on_device=True,
                               mesh=mesh, axis_name=axis_name).raw
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def constrain(x):
-            spec = P(*([axis_name] + [None] * (x.ndim - 1)))
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, spec))
-    else:
-        def constrain(x):
-            return x
+    constrain = _batch_constrainer(mesh, axis_name)
 
     jit_kwargs = {}
     if mesh is not None:
