@@ -701,8 +701,9 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
     jit_kwargs = {}
     if mesh is not None:
         rep, _, _ = _mesh_shardings(mesh, axis_name)
-        jit_kwargs = dict(in_shardings=(rep, rep, rep, rep, rep),
-                          out_shardings=(rep, rep))
+        st = None if _tp_size(mesh) > 1 else rep
+        jit_kwargs = dict(in_shardings=(st, rep, rep, rep, rep),
+                          out_shardings=(st, rep))
 
     @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def multi_step(state, store_s, store_t, scalars: StepScalars, rng):
@@ -765,8 +766,9 @@ def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
     jit_kwargs = {}
     if mesh is not None:
         rep, _, _ = _mesh_shardings(mesh, axis_name)
+        st = None if _tp_size(mesh) > 1 else rep
         jit_kwargs = dict(
-            in_shardings=(rep,) * 9, out_shardings=(rep, rep))
+            in_shardings=(st,) + (rep,) * 8, out_shardings=(st, rep))
 
     @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def shard_step(state, shard_s, shard_t, scalars: StepScalars, rng,

@@ -297,3 +297,30 @@ def test_train_cli_model_parallel(workspace, monkeypatch):
         "-pf", "1", "-sf", "100", "-ef", "1",
     ])
     assert best >= 0.0
+
+
+def test_train_cli_model_parallel_device_sampler(workspace, monkeypatch):
+    """Composition: --model_parallel 2 + --device_store +
+    --steps_per_call + --device_sampler (TP state shardings flow through
+    the sampled K-step builder)."""
+    import ta3n_tpu.train.step as step_mod
+    monkeypatch.setattr(step_mod, "_TP_MIN_SIZE", 16)
+    from ta3n_tpu.cli.train import main
+    exp = workspace / "exp_tp_dsamp"
+    best = main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "src" / "list.txt"),
+        str(workspace / "tgt" / "list.txt"),
+        str(workspace / "val" / "list.txt"),
+        "--exp_path", str(exp) + "/",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--num_segments", "3", "--val_segments", "3",
+        "--add_fc", "1", "--fc_dim", "16", "--feature_dim", "16",
+        "--use_target", "uSv", "--adv_DA", "RevGrad",
+        "--beta", "0.5", "0.5", "0.5",
+        "--lr", "0.1", "--epochs", "1", "-b", "8", "8", "8",
+        "--model_parallel", "2",
+        "--device_store", "--steps_per_call", "2", "--device_sampler",
+        "-pf", "1", "-sf", "100", "-ef", "1",
+    ])
+    assert best >= 0.0
