@@ -233,14 +233,23 @@ def _domain_adversarial_loss(pred_domain_s, pred_domain_t, mask_s, mask_t,
     return loss, selected
 
 
+_DIS_CHUNK_ROWS = 256  # reference size_batch (main.py:488)
+
+
 def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
                       n_pair: int):
     """DAN / JAN / CORAL placement (main.py:454-505).
 
     Features are taken from the first ``n_pair`` videos of each stream
-    (static analogue of `size_loss = min(...)`, main.py:467,482); the
-    reference's 256-row sub-batching (main.py:488-490) is a no-op at the
-    published batch sizes and is not replicated.
+    (static analogue of `size_loss = min(...)`, main.py:467,482).  The
+    reference's 256-row sub-batching (main.py:488-490: view into
+    [n/256, 256, ...] chunks, per-layer loss = mean of per-chunk DAN/CORAL)
+    is replicated exactly for chunk-divisible sizes; where the reference's
+    `.view` would crash (n_pair % 256 != 0 above 256) we generalize with a
+    smaller remainder chunk, still averaging per-chunk losses.  Shapes are
+    static, so the chunk loop unrolls at trace time at zero dispatch cost.
+    JAN is never sub-batched (reference keeps it in the non-chunked branch,
+    main.py:462-471).
     """
     kernel_muls = [2.0, 2.0]
     kernel_nums = [2, 5]
@@ -255,6 +264,12 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
         return JAN(fs, ft, kernel_muls=kernel_muls, kernel_nums=kernel_nums,
                    fix_sigma_list=[None, None], ver=2)
 
+    def chunked_mean(fn, fs, ft):
+        size_batch = min(_DIS_CHUNK_ROWS, fs.shape[0])
+        chunks = [fn(fs[i:i + size_batch], ft[i:i + size_batch])
+                  for i in range(0, fs.shape[0], size_batch)]
+        return sum(chunks) / len(chunks)
+
     muls = kernel_muls + [kernel_muls[-1]] * add_fc
     nums = kernel_nums + [kernel_nums[-1]] * add_fc
     loss = jnp.asarray(0.0)
@@ -265,10 +280,12 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
             continue
         fs, ft = flat(feat_s[l]), flat(feat_t[l])
         if da.dis_DA == "CORAL":
-            loss = loss + CORAL(fs, ft)
+            loss = loss + chunked_mean(CORAL, fs, ft)
         elif da.dis_DA == "DAN":
-            loss = loss + mmd_rbf(fs, ft, kernel_mul=muls[l],
-                                  kernel_num=nums[l], ver=2)
+            loss = loss + chunked_mean(
+                lambda a, b, l=l: mmd_rbf(a, b, kernel_mul=muls[l],
+                                          kernel_num=nums[l], ver=2),
+                fs, ft)
         else:
             raise ValueError(f"unknown dis_DA {da.dis_DA}")
     return loss

@@ -194,37 +194,73 @@ def test_masked_rows_do_not_affect_updates():
                                    atol=1e-5)
 
 
-def test_discrepancy_subbatch_divergence_documented():
-    """_discrepancy_loss computes DAN over the full n_pair rows; the
-    reference chunks into 256-row sub-batches and averages per-chunk MMDs
-    (main.py:488-498).  At the published batch (n_pair = min(128,74) = 74
-    <= 256) the reference's view(-1, min(256,n), ...) produces exactly ONE
-    chunk, so the two formulations are identical; at n_pair > 256 the
-    blockwise mean genuinely differs (documented divergence, PARITY.md)."""
-    from ta3n_tpu.losses.losses import mmd_rbf
+def test_discrepancy_subbatch_matches_reference():
+    """_discrepancy_loss replicates the reference's 256-row sub-batching
+    (main.py:488-498: view into [n/256, 256, ...] chunks, per-layer loss
+    = mean of per-chunk DAN/CORAL).  At the published batch
+    (n_pair = min(128,74) = 74 <= 256) there is exactly one chunk; above
+    256 the per-chunk mean is matched exactly for the divisible sizes the
+    reference supports, and generalized with a remainder chunk where the
+    reference's .view would raise."""
+    from ta3n_tpu.losses.losses import CORAL, mmd_rbf
+    from ta3n_tpu.train.step import _discrepancy_loss
 
-    def reference_chunked(fs, ft, kernel_mul, kernel_num):
-        n = fs.shape[0]
-        size_batch = min(256, n)
-        assert n % size_batch == 0  # torch .view would error otherwise
-        chunks_s = fs.reshape(-1, size_batch, fs.shape[-1])
-        chunks_t = ft.reshape(-1, size_batch, ft.shape[-1])
-        vals = [mmd_rbf(chunks_s[t], chunks_t[t], kernel_mul=kernel_mul,
-                        kernel_num=kernel_num, ver=2)
-                for t in range(chunks_s.shape[0])]
-        return sum(vals) / len(vals)
+    def reference_dan(feat_s, feat_t, place_dis, add_fc, n_pair):
+        # golden re-derivation of main.py:476-499 (DAN branch)
+        muls = [2.0, 2.0] + [2.0] * add_fc
+        nums = [2, 5] + [5] * add_fc
+        total = 0.0
+        for l in range(add_fc + 2):
+            if place_dis[l] != "Y" or l >= len(feat_s):
+                continue
+            fs = np.asarray(feat_s[l])[:n_pair].reshape(n_pair, -1)
+            ft = np.asarray(feat_t[l])[:n_pair].reshape(n_pair, -1)
+            size_batch = min(256, n_pair)
+            assert n_pair % size_batch == 0  # torch .view contract
+            cs = fs.reshape(-1, size_batch, fs.shape[-1])
+            ct = ft.reshape(-1, size_batch, ft.shape[-1])
+            vals = [float(mmd_rbf(jnp.asarray(cs[t]), jnp.asarray(ct[t]),
+                                  kernel_mul=muls[l], kernel_num=nums[l],
+                                  ver=2))
+                    for t in range(cs.shape[0])]
+            total += sum(vals) / len(vals)
+        return total
 
     rng = np.random.default_rng(0)
-    # published-size case: one chunk -> bitwise identical
-    fs = jnp.asarray(rng.normal(size=(74, 8)).astype(np.float32))
-    ft = jnp.asarray(rng.normal(size=(74, 8)).astype(np.float32) + 0.3)
-    ours = mmd_rbf(fs, ft, kernel_mul=2.0, kernel_num=2, ver=2)
-    ref = reference_chunked(np.asarray(fs), np.asarray(ft), 2.0, 2)
-    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+    da = DAConfig(use_target="uSv", dis_DA="DAN",
+                  place_dis=("Y", "Y", "N"))
+    for n in (74, 512):  # published one-chunk size; 2-chunk size
+        feat_s = [jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32)),
+                  jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))]
+        feat_t = [jnp.asarray(
+                      rng.normal(size=(n, 6)).astype(np.float32) + 0.3),
+                  jnp.asarray(
+                      rng.normal(size=(n, 8)).astype(np.float32) + 0.3)]
+        ours = float(_discrepancy_loss(feat_s, feat_t, da, add_fc=1,
+                                       n_pair=n))
+        ref = reference_dan(feat_s, feat_t, da.place_dis, 1, n)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
-    # >256-row case: blockwise mean diverges from full-batch MMD
-    fs = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
-    ft = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32) + 0.3)
-    ours = float(mmd_rbf(fs, ft, kernel_mul=2.0, kernel_num=2, ver=2))
-    ref = float(reference_chunked(np.asarray(fs), np.asarray(ft), 2.0, 2))
-    assert abs(ours - ref) > 1e-6
+    # remainder generalization (reference .view would crash at n=300):
+    # mean over chunks [256, 44]
+    n = 300
+    feat_s = [jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))]
+    feat_t = [jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32) + .3)]
+    da1 = DAConfig(use_target="uSv", dis_DA="DAN",
+                   place_dis=("Y", "N", "N"))
+    ours = float(_discrepancy_loss(feat_s, feat_t, da1, add_fc=1,
+                                   n_pair=n))
+    want = (float(mmd_rbf(feat_s[0][:256], feat_t[0][:256],
+                          kernel_mul=2.0, kernel_num=2, ver=2))
+            + float(mmd_rbf(feat_s[0][256:], feat_t[0][256:],
+                            kernel_mul=2.0, kernel_num=2, ver=2))) / 2.0
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+    # CORAL takes the same chunked-mean path
+    da2 = DAConfig(use_target="uSv", dis_DA="CORAL",
+                   place_dis=("Y", "N", "N"))
+    ours = float(_discrepancy_loss(feat_s, feat_t, da2, add_fc=1,
+                                   n_pair=n))
+    want = (float(CORAL(feat_s[0][:256], feat_t[0][:256]))
+            + float(CORAL(feat_s[0][256:], feat_t[0][256:]))) / 2.0
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
