@@ -250,6 +250,14 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
     static, so the chunk loop unrolls at trace time at zero dispatch cost.
     JAN is never sub-batched (reference keeps it in the non-chunked branch,
     main.py:462-471).
+
+    Divergence (improvement): placing DAN/CORAL on the shared frame-level
+    layer crashes the reference outright — those feat entries are 3D
+    [B, S, d] and `guassian_kernel` (loss.py:49-52) calls
+    `.expand(n, n, d)` on what is then a 4D tensor (RuntimeError), so the
+    reference only ever runs discrepancy on the 2D video-level entries.
+    We flatten each video's segments to one [B, S*d] row instead, making
+    `--place_dis` fully functional at every layer.
     """
     kernel_muls = [2.0, 2.0]
     kernel_nums = [2, 5]

@@ -98,9 +98,11 @@ def test_dan_discrepancy_config():
 
 
 def test_jan_and_coral_configs():
+    """All-layer place_dis, incl. the 3D shared-layer feats that crash the
+    reference for DAN/CORAL (guassian_kernel 4D expand, loss.py:49-52)."""
     cfg = ModelConfig(baseline_type="video", frame_aggregation="avgpool",
                       use_attn="none", **BASE)
-    for dis in ("JAN", "CORAL"):
+    for dis in ("JAN", "CORAL", "DAN"):
         da = DAConfig(use_target="uSv", dis_DA=dis,
                       place_dis=("Y", "Y", "Y"))
         _, _, losses, _ = run_steps(cfg, da, n_steps=4, lr=0.1, alpha=0.5)
