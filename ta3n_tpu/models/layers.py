@@ -28,6 +28,27 @@ def dense(features: int, dtype=None, name: Optional[str] = None) -> nn.Dense:
                     bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
 
+class DenseParams(nn.Module):
+    """The parameters of a `dense` layer without the matmul.
+
+    Lets callers stack several same-shaped heads into ONE batched GEMM
+    (the train step is op-count-bound, BENCH_NOTES.md) while keeping the
+    per-head checkpoint layout: the param tree entry is still
+    `<name>/{kernel,bias}` with the same shapes, and flax derives each
+    param's init RNG from its (module name, param name) path, so the
+    initialized values are bitwise identical to `dense(...)`'s.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", normal_001,
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d with optional per-row *statistics* weights.
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ta3n_tpu.config import ModelConfig
-from ta3n_tpu.models.layers import (GeneralAttn, MaskedBatchNorm, TCL, dense,
+from ta3n_tpu.models.layers import (DenseParams, GeneralAttn,
+                                    MaskedBatchNorm, TCL, dense,
                                     trans_attn_weights)
 from ta3n_tpu.models.rnn import RNNAggregator
 from ta3n_tpu.models.trn import RelationModule, RelationModuleMultiScale
@@ -221,16 +222,26 @@ class VideoModel(nn.Module):
             num_relation = rel.shape[1]
 
             # relation-level adversarial heads (models.py:472-488): one
-            # 2-layer MLP per relation scale, all on GRL(beta[0]).
+            # 2-layer MLP per relation scale, all on GRL(beta[0]).  The R
+            # per-scale heads run as TWO batched GEMMs instead of 2R small
+            # ones (op-count-bound step, BENCH_NOTES.md); per-head params
+            # keep the reference checkpoint layout and init stream.
             rel_rev = grad_reverse(rel, beta[0])
-            preds = []
-            for i in range(num_relation):
-                hi = dense(cfg.aggregated_dim, dtype=dtype,
-                           name=f"relation_domain_fc1_{i}")(rel_rev[:, i, :])
-                hi = nn.relu(hi)
-                preds.append(dense(2, dtype=dtype,
-                                   name=f"relation_domain_fc2_{i}")(hi))
-            pred_domain_relation = jnp.stack(preds, axis=1)  # [B, R, 2]
+            in_dim = rel_rev.shape[-1]
+            w1, b1 = zip(*[DenseParams(cfg.aggregated_dim,
+                                       name=f"relation_domain_fc1_{i}")(
+                               in_dim) for i in range(num_relation)])
+            w2, b2 = zip(*[DenseParams(2,
+                                       name=f"relation_domain_fc2_{i}")(
+                               cfg.aggregated_dim)
+                           for i in range(num_relation)])
+            hi = nn.relu(jnp.einsum("bri,rio->bro", rel_rev.astype(dtype),
+                                    jnp.stack(w1).astype(dtype))
+                         + jnp.stack(b1).astype(dtype)[None])
+            pred_domain_relation = (
+                jnp.einsum("brh,rho->bro", hi,
+                           jnp.stack(w2).astype(dtype))
+                + jnp.stack(b2).astype(dtype)[None])  # [B, R, 2]
 
             # transferable attention over relations (models.py:379-388,643-648)
             if cfg.use_attn == "TransAttn":
