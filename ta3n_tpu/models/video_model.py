@@ -27,7 +27,7 @@ same order.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,13 +118,22 @@ class VideoModel(nn.Module):
     @nn.compact
     def __call__(self, input_source: jax.Array, input_target: jax.Array,
                  beta: jax.Array, mu, is_train: bool = True,
-                 reverse: bool = False) -> Tuple[StreamOutput, StreamOutput]:
+                 reverse: bool = False,
+                 combined_rows: Optional[jax.Array] = None
+                 ) -> Tuple[StreamOutput, StreamOutput]:
         """Dual-stream forward (reference forward, models.py:545-722).
 
         input_source: [Bs, S, D], input_target: [Bt, S, D];
         S = train_segments if is_train else val_segments.
         beta: traced (3,) array = [relation, video, frame] GRL strengths.
         mu: traced scalar, GRL strength of the MCD reverse step.
+
+        combined_rows: optional pre-stacked frame rows
+        [(Bs+Bt)*S, D] (source videos first) — the combined-store fast
+        path gathers both domains' rows in ONE device gather already in
+        this layout, so the entry concat+reshape (and its relayout cost)
+        is skipped.  input_source/input_target are then consumed only
+        for their static shapes (XLA dead-code-eliminates their values).
         """
         cfg = self.cfg
         num_segments = cfg.train_segments if is_train else cfg.val_segments
@@ -143,8 +152,11 @@ class VideoModel(nn.Module):
             alpha = jnp.asarray(1.0)
 
         # ---- fused two-stream batch: source videos first ----
-        x = jnp.concatenate([input_source, input_target], axis=0)
-        f = x.reshape(b_all * num_segments, -1).astype(dtype)
+        if combined_rows is not None:
+            f = combined_rows.astype(dtype)
+        else:
+            x = jnp.concatenate([input_source, input_target], axis=0)
+            f = x.reshape(b_all * num_segments, -1).astype(dtype)
         n_src_frames = bs * num_segments
 
         feat_all = []  # appended in reference order; reversed at the end

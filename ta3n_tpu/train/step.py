@@ -318,7 +318,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                     pretrain_classification_only: bool = False,
                     return_aux: bool = False,
                     gather_on_device: bool = False,
-                    mesh=None, axis_name: str = "data"):
+                    mesh=None, axis_name: str = "data",
+                    combined_store_rows: Optional[int] = None):
     """Build the jitted train step for one configuration.
 
     Returned signature:
@@ -329,6 +330,13 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     feature store stays resident in HBM and the batch gather runs inside
     the jit — only ~KB of indices cross the host boundary per step
     (vs the reference's per-frame torch.load host pipeline).
+    With ``combined_store_rows=N`` (requires gather_on_device) the two
+    stores are ONE packed array (source rows 0..N, target rows at
+    offset N) and the signature drops the second store:
+      step(state, store, idx_s, ys, mask_s, idx_t, yt, mask_t,
+           scalars, rng)
+    — one flat gather feeds the model's frame stack directly
+    (model combined_rows fast path; bitwise-equal, fewer relayouts).
 
     With ``mesh`` the step is compiled with explicit in_shardings: batch
     axes sharded over the mesh, state/stores/scalars/rng replicated —
@@ -347,9 +355,13 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         raise ValueError("DAConfig.ens_DA='MCD' requires "
                          "ModelConfig.ens_DA='MCD' (the second video "
                          "classifier lives in the model)")
+    if combined_store_rows is not None and not gather_on_device:
+        raise ValueError("combined_store_rows requires "
+                         "gather_on_device=True (it is a device-store "
+                         "gather layout)")
 
     def loss_fn(params, batch_stats, xs, ys, mask_s, xt, yt, mask_t,
-                scalars: StepScalars, rng):
+                scalars: StepScalars, rng, rows=None):
         variables = {"params": params}
         if use_bn:
             variables["batch_stats"] = batch_stats
@@ -358,12 +370,13 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         if use_bn:
             (out_s, out_t), mut = model.apply(
                 variables, xs, xt, scalars.beta, scalars.mu, True, False,
-                rngs={"dropout": rng_fwd}, mutable=["batch_stats"])
+                rngs={"dropout": rng_fwd}, mutable=["batch_stats"],
+                combined_rows=rows)
             new_stats = mut["batch_stats"]
         else:
             out_s, out_t = model.apply(
                 variables, xs, xt, scalars.beta, scalars.mu, True, False,
-                rngs={"dropout": rng_fwd})
+                rngs={"dropout": rng_fwd}, combined_rows=rows)
             new_stats = batch_stats
 
         metrics = {}
@@ -471,7 +484,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                 variables2["batch_stats"] = batch_stats
             res2 = model.apply(variables2, xs, xt, scalars.beta, scalars.mu,
                                True, True, rngs={"dropout": rng_mcd},
-                               mutable=["batch_stats"] if use_bn else False)
+                               mutable=["batch_stats"] if use_bn else False,
+                               combined_rows=rows)
             (_, out_t_rev) = res2[0] if use_bn else res2
             o1, _, m1 = _flatten_out(out_t_rev.out, yt, mask_t,
                                      cfg.baseline_type)
@@ -500,7 +514,7 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     tp_constrain = _tp_param_constrainer(mesh)
 
     def _run(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
-             scalars: StepScalars, rng):
+             scalars: StepScalars, rng, rows=None):
         # fold the step counter in ON DEVICE: the caller passes the same
         # rng array every step (no per-step host->device transfers, which
         # serialize the dispatch pipeline on tunneled runtimes)
@@ -511,7 +525,7 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,
-            scalars, rng)
+            scalars, rng, rows)
         if hasattr(tx, "update_and_apply"):  # flat path: fused lr apply
             new_params, new_opt = tx.update_and_apply(
                 grads, state.opt_state, params, scalars.lr)
@@ -542,6 +556,49 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         jitted.tx = tx
         jitted.raw = _run
         return jitted
+
+    if combined_store_rows is not None:
+        # combined-store fast path: both domains' stores are packed into
+        # ONE HBM array (source rows first, target rows at offset
+        # combined_store_rows) and the whole dual-stream batch is fetched
+        # by ONE flat row gather already in the [(Bs+Bt)*S, D] layout the
+        # frame stack consumes — the entry concat + reshape relayouts of
+        # the two-gather path never exist in the program.
+        off = int(combined_store_rows)
+
+        def _combined_gather_run(state, store, idx_s, ys, mask_s, idx_t,
+                                 yt, mask_t, scalars, rng):
+            bs, bt = idx_s.shape[0], idx_t.shape[0]
+            all_idx = jnp.concatenate(
+                [idx_s.reshape(-1), idx_t.reshape(-1) + off])
+            rows = store[all_idx]
+            if rows.ndim == 3:  # Flow: interleave streams per frame
+                rows = rows.reshape(rows.shape[0] * rows.shape[1], -1)
+            spf = rows.shape[0] // (bs + bt)  # rows per video
+            # zero the masked rows (the loader points them at row 0)
+            m_rows = jnp.concatenate(
+                [jnp.repeat(mask_s, spf), jnp.repeat(mask_t, spf)])
+            rows = rows * m_rows[:, None].astype(rows.dtype)
+            # xs/xt carry only static shape info into the model (their
+            # values are dead code under combined_rows — DCE'd by XLA)
+            xs = rows[:bs * spf].reshape(bs, spf, -1)
+            xt = rows[bs * spf:].reshape(bt, spf, -1)
+            return _run(state, xs, ys, mask_s, xt, yt, mask_t, scalars,
+                        rng, rows=rows)
+
+        jit_kwargs = {}
+        if mesh is not None:
+            rep, data, _ = _mesh_shardings(mesh, axis_name)
+            st = rep if st_sh == "rep" else None
+            jit_kwargs = dict(
+                in_shardings=(st, rep, data, data, data, data, data,
+                              data, rep, rep),
+                out_shardings=(st, rep))
+
+        combined_step = jax.jit(_combined_gather_run, donate_argnums=(0,),
+                                **jit_kwargs)
+        combined_step.raw = _combined_gather_run
+        return combined_step
 
     def _gather_run(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
                     mask_t, scalars, rng):
@@ -640,7 +697,8 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
                           class_weights: Optional[jnp.ndarray] = None,
                           domain_weights: Optional[jnp.ndarray] = None,
                           mesh=None, axis_name: str = "data",
-                          unroll: int = 1):
+                          unroll: int = 1,
+                          combined_store_rows: Optional[int] = None):
     """K optimizer steps per dispatch: lax.scan over stacked index batches
     against HBM-resident stores.
 
@@ -650,6 +708,10 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
       multi_step(state, store_s, idx_s [K,B,T], ys [K,B], mask_s [K,B],
                  store_t, idx_t, yt, mask_t, scalars (each field stacked
                  [K,...]), rng) -> (state, metrics stacked [K])
+    With ``combined_store_rows=N`` the stores are ONE packed array and
+    the signature drops store_t (see make_train_step):
+      multi_step(state, store, idx_s, ys, mask_s, idx_t, yt, mask_t,
+                 scalars, rng)
 
     With ``mesh`` the stacked batches are sharded on axis 1 (the batch
     axis), stores/state replicated: the flagship device-store production
@@ -658,7 +720,31 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
     """
     step_fn = make_train_step(model, da, train_cfg, class_weights,
                               domain_weights, gather_on_device=True,
-                              mesh=mesh, axis_name=axis_name).raw
+                              mesh=mesh, axis_name=axis_name,
+                              combined_store_rows=combined_store_rows).raw
+
+    if combined_store_rows is not None:
+        jit_kwargs = {}
+        if mesh is not None:
+            rep, _, kdata = _mesh_shardings(mesh, axis_name)
+            st = None if _tp_size(mesh) > 1 else rep
+            jit_kwargs = dict(
+                in_shardings=(st, rep, kdata, kdata, kdata, kdata,
+                              kdata, kdata, rep, rep),
+                out_shardings=(st, rep))
+
+        @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
+        def multi_step_combined(state, store, idx_s, ys, mask_s, idx_t,
+                                yt, mask_t, scalars: StepScalars, rng):
+            def body(st, per_step):
+                i_s, y_s, m_s, i_t, y_t, m_t, sc = per_step
+                return step_fn(st, store, i_s, y_s, m_s, i_t, y_t, m_t,
+                               sc, rng)
+
+            xs = (idx_s, ys, mask_s, idx_t, yt, mask_t, scalars)
+            return jax.lax.scan(body, state, xs, unroll=unroll)
+
+        return multi_step_combined
 
     jit_kwargs = {}
     if mesh is not None:
