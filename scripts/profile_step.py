@@ -27,7 +27,7 @@ BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12
 
 
 def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
-               unroll: int = 1):
+               unroll: int = 1, combined: bool = False):
     from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
     from ta3n_tpu.models import VideoModel
     from ta3n_tpu.train import StepScalars, create_train_state
@@ -45,7 +45,9 @@ def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
     model = VideoModel(cfg)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, rng, BS, BT, tc)
-    step = make_multi_train_step(model, da, tc, unroll=unroll)
+    step = make_multi_train_step(
+        model, da, tc, unroll=unroll,
+        combined_store_rows=20000 if combined else None)
 
     g = np.random.default_rng(0)
     sdt = jnp.dtype(store_dtype)
@@ -53,14 +55,17 @@ def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
         g.normal(size=(20000, FDIM)).astype(np.float32), dtype=sdt))
     store_t = jax.device_put(jnp.asarray(
         g.normal(size=(12000, FDIM)).astype(np.float32), dtype=sdt))
-    args = (store_s,
-            g.integers(0, 20000, size=(k, BS, SEG)).astype(np.int32),
-            g.integers(0, NCLASS, size=(k, BS)).astype(np.int32),
-            np.ones((k, BS), np.float32),
-            store_t,
-            g.integers(0, 12000, size=(k, BT, SEG)).astype(np.int32),
-            g.integers(0, NCLASS, size=(k, BT)).astype(np.int32),
-            np.ones((k, BT), np.float32))
+    idx_s = g.integers(0, 20000, size=(k, BS, SEG)).astype(np.int32)
+    ys = g.integers(0, NCLASS, size=(k, BS)).astype(np.int32)
+    ms = np.ones((k, BS), np.float32)
+    idx_t = g.integers(0, 12000, size=(k, BT, SEG)).astype(np.int32)
+    yt = g.integers(0, NCLASS, size=(k, BT)).astype(np.int32)
+    mt = np.ones((k, BT), np.float32)
+    if combined:
+        store = jnp.concatenate([store_s, store_t], axis=0)
+        args = (store, idx_s, ys, ms, idx_t, yt, mt)
+    else:
+        args = (store_s, idx_s, ys, ms, store_t, idx_t, yt, mt)
     sc = StepScalars(np.tile(np.float32([0.75, 0.75, 0.5]), (k, 1)),
                      np.zeros(k, np.float32), np.zeros(k, np.float32),
                      np.full(k, 0.003, np.float32),
@@ -96,25 +101,25 @@ def main():
                     help="match bench.py's default (rbg)")
     ap.add_argument("--store_dtype", default="float32")
     ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--combined", action="store_true",
+                    help="combined-store fast path (one packed store, "
+                         "one flat gather)")
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl", args.prng_impl)
 
     state, step, sargs, sc, rng = build_step(args.k, args.dtype,
                                              args.store_dtype,
-                                             args.unroll)
-    (store_s, idx_s, ys, ms, store_t, idx_t, yt, mt) = sargs
+                                             args.unroll, args.combined)
 
     # compile + warm
     for _ in range(2):
-        state, m = step(state, store_s, idx_s, ys, ms, store_t, idx_t, yt,
-                        mt, sc, rng)
+        state, m = step(state, *sargs, sc, rng)
     float(m["loss"][args.k - 1])
 
     tdir = tempfile.mkdtemp(prefix="ta3n_prof_")
     jax.profiler.start_trace(tdir)
     for _ in range(args.calls):
-        state, m = step(state, store_s, idx_s, ys, ms, store_t, idx_t, yt,
-                        mt, sc, rng)
+        state, m = step(state, *sargs, sc, rng)
     float(m["loss"][args.k - 1])  # force real execution inside the trace
     jax.profiler.stop_trace()
 

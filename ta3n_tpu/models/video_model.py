@@ -129,11 +129,13 @@ class VideoModel(nn.Module):
         mu: traced scalar, GRL strength of the MCD reverse step.
 
         combined_rows: optional pre-stacked frame rows
-        [(Bs+Bt)*S, D] (source videos first) — the combined-store fast
-        path gathers both domains' rows in ONE device gather already in
-        this layout, so the entry concat+reshape (and its relayout cost)
-        is skipped.  input_source/input_target are then consumed only
-        for their static shapes (XLA dead-code-eliminates their values).
+        [(Bs+Bt)*S, D] (source videos first) — the combined-store path
+        gathers both domains' rows in ONE device gather already in this
+        layout, so the entry concat+reshape is skipped.
+        input_source/input_target are then consumed only for their
+        static shapes (XLA dead-code-eliminates their values).  Measured
+        slower than the default on TPU (BENCH_NOTES "Combined-store
+        single-gather"); kept as a tested opt-in.
         """
         cfg = self.cfg
         num_segments = cfg.train_segments if is_train else cfg.val_segments

@@ -335,8 +335,12 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     offset N) and the signature drops the second store:
       step(state, store, idx_s, ys, mask_s, idx_t, yt, mask_t,
            scalars, rng)
-    — one flat gather feeds the model's frame stack directly
-    (model combined_rows fast path; bitwise-equal, fewer relayouts).
+    — one flat gather feeds the model's frame stack directly (model
+    combined_rows fast path).  Equivalence-tested, but measured SLOWER
+    than the default two-store path on TPU (269.4 -> 294.2 us/step:
+    XLA already fuses the entry concat into the two gathers' output
+    buffer — see BENCH_NOTES.md "Combined-store single-gather").  Kept
+    as an opt-in for single-array deployments, not wired into the CLI.
 
     With ``mesh`` the step is compiled with explicit in_shardings: batch
     axes sharded over the mesh, state/stores/scalars/rng replicated —
@@ -558,12 +562,14 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         return jitted
 
     if combined_store_rows is not None:
-        # combined-store fast path: both domains' stores are packed into
-        # ONE HBM array (source rows first, target rows at offset
-        # combined_store_rows) and the whole dual-stream batch is fetched
-        # by ONE flat row gather already in the [(Bs+Bt)*S, D] layout the
-        # frame stack consumes — the entry concat + reshape relayouts of
-        # the two-gather path never exist in the program.
+        # combined-store path: both domains' stores packed into ONE HBM
+        # array (source rows first, target rows at offset
+        # combined_store_rows); the whole dual-stream batch is fetched by
+        # ONE flat row gather already in the [(Bs+Bt)*S, D] layout the
+        # frame stack consumes.  NOTE: measured slower than the
+        # two-gather default on TPU (BENCH_NOTES "Combined-store
+        # single-gather" negative result) — XLA fuses the entry concat
+        # into the two gathers anyway.
         off = int(combined_store_rows)
 
         def _combined_gather_run(state, store, idx_s, ys, mask_s, idx_t,
