@@ -50,6 +50,12 @@ def run_one(seed: int, use_da: bool, args) -> float:
         elif args.da_variant == "dan":
             da = DAConfig(use_target="uSv", dis_DA="DAN",
                           place_dis=("N", "Y", "N"))
+        elif args.da_variant == "jan":
+            da = DAConfig(use_target="uSv", dis_DA="JAN",
+                          place_dis=("N", "Y", "N"))
+        elif args.da_variant == "coral":
+            da = DAConfig(use_target="uSv", dis_DA="CORAL",
+                          place_dis=("N", "Y", "N"))
         elif args.da_variant == "mcd":
             da = DAConfig(use_target="uSv", ens_DA="MCD")
         elif args.da_variant == "adabn":  # AdaBN via ModelConfig.use_bn
@@ -103,7 +109,8 @@ def main():
                     help="accuracy A/B for the bf16 compute path "
                          "(ROADMAP #5)")
     ap.add_argument("--da_variant", default="full",
-                    choices=["full", "dan", "mcd", "adabn"],
+                    choices=["full", "dan", "jan", "coral", "mcd",
+                             "adabn"],
                     help="which DA mechanism the 'full_ta3n' arm uses "
                          "(VERDICT r1 #4: variants must not regress "
                          "vs source-only)")

@@ -32,24 +32,45 @@ def build_parser():
     p.add_argument("--top_k", type=int, default=5)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--export", default=None, metavar="DIR",
+                   help="write an AOT deployment artifact (StableHLO + "
+                        "meta.json) to DIR and exit instead of serving; "
+                        "WEIGHTS may later be given as DIR to serve it "
+                        "without model code or checkpoint")
+    p.add_argument("--export_platforms", nargs="+",
+                   default=["cpu", "tpu"],
+                   help="platforms the exported artifact must run on")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     class_names = load_class_names(args.class_file)
-    cfg = ModelConfig(
-        num_class=len(class_names), baseline_type=args.baseline_type,
-        frame_aggregation=args.frame_aggregation,
-        train_segments=args.test_segments, val_segments=args.test_segments,
-        base_model=args.arch, feature_dim=args.feature_dim,
-        dropout_i=0.0, dropout_v=0.0, add_fc=args.add_fc,
-        fc_dim=args.fc_dim, use_attn=args.use_attn,
-        use_attn_frame=args.use_attn_frame, use_bn=args.use_bn,
-        share_params=args.share_params)
-    predictor = Predictor.from_checkpoint(args.weights, cfg,
-                                          batch_size=args.batch_size,
-                                          top_k=args.top_k)
+    if Predictor.is_exported(args.weights):
+        # WEIGHTS is a Predictor.export artifact: model flags are taken
+        # from its meta.json, not the CLI
+        predictor = Predictor.from_exported(args.weights)
+    else:
+        cfg = ModelConfig(
+            num_class=len(class_names), baseline_type=args.baseline_type,
+            frame_aggregation=args.frame_aggregation,
+            train_segments=args.test_segments,
+            val_segments=args.test_segments,
+            base_model=args.arch, feature_dim=args.feature_dim,
+            dropout_i=0.0, dropout_v=0.0, add_fc=args.add_fc,
+            fc_dim=args.fc_dim, use_attn=args.use_attn,
+            use_attn_frame=args.use_attn_frame, use_bn=args.use_bn,
+            share_params=args.share_params)
+        predictor = Predictor.from_checkpoint(args.weights, cfg,
+                                              batch_size=args.batch_size,
+                                              top_k=args.top_k)
+    if args.export:
+        out = predictor.export(args.export,
+                               platforms=tuple(args.export_platforms))
+        print(f"exported {predictor.cfg.num_class}-class predictor "
+              f"(batch {predictor.batch_size}, platforms "
+              f"{args.export_platforms}) to {out}")
+        return
     run_http_server(predictor, class_names, args.host, args.port)
 
 

@@ -18,7 +18,29 @@ from ta3n_tpu.models.layers import dense, normal_001
 from ta3n_tpu.ops.relation import build_relation_plan
 from ta3n_tpu.ops.trn_fused import trn_multiscale_fused, trn_multiscale_infer
 
-__all__ = ["RelationModule", "RelationModuleMultiScale"]
+__all__ = ["RelationModule", "RelationModuleMultiScale", "force_xla_trn"]
+
+# Set by force_xla_trn(): overrides use_pallas='auto'/'always' so traces
+# contain no TPU custom calls.  Needed when tracing for serialization
+# (jax.export multi-platform artifacts, serve.Predictor.export) on a host
+# whose default backend is a real TPU — a Pallas custom call would pin the
+# artifact to that exact backend.
+_FORCE_XLA = False
+
+
+class force_xla_trn:
+    """Context manager: force the XLA TRN path for traces made inside."""
+
+    def __enter__(self):
+        global _FORCE_XLA
+        self._prev = _FORCE_XLA
+        _FORCE_XLA = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA
+        _FORCE_XLA = self._prev
+        return False
 
 
 class RelationModule(nn.Module):
@@ -68,7 +90,7 @@ class RelationModuleMultiScale(nn.Module):
     use_pallas: str = "auto"   # "auto" | "never" | "always"
 
     def _pallas_ok(self) -> bool:
-        if self.use_pallas == "never":
+        if _FORCE_XLA or self.use_pallas == "never":
             return False
         if self.use_pallas == "always":
             return True

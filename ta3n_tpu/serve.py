@@ -9,11 +9,23 @@ and optionally expose it over HTTP for row-feature requests.
     probs, topk = predictor(features)            # [N, S, D] -> [N, C]
 
     python -m ta3n_tpu.cli.serve CLASS_FILE WEIGHTS --port 8500 ...
+
+AOT deployment artifacts: ``Predictor.export(dir)`` serializes the whole
+predict function (weights baked in) as a multi-platform StableHLO module
+via ``jax.export`` plus a JSON sidecar with the model config, and
+``Predictor.from_exported(dir)`` serves it WITHOUT the model code or
+checkpoint — version-stable deployment the reference (which pickles a
+torch state_dict and re-imports models.py at load time) has no analogue
+for.  Exported traces force the XLA TRN path (models/trn.py
+``force_xla_trn``) so the artifact carries no backend-pinned custom
+calls and runs on any listed platform.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 from typing import Tuple
 
 import jax
@@ -24,6 +36,9 @@ from ta3n_tpu.config import ModelConfig
 from ta3n_tpu.models import VideoModel
 
 __all__ = ["Predictor"]
+
+_EXPORT_BIN = "predict.stablehlo"
+_EXPORT_META = "meta.json"
 
 
 class Predictor:
@@ -37,8 +52,9 @@ class Predictor:
         self.batch_stats = batch_stats or {}
         self.batch_size = batch_size
         self.top_k = min(top_k, model_cfg.num_class)
+        self._predict = jax.jit(self._make_predict_fn())
 
-        @jax.jit
+    def _make_predict_fn(self):
         def _predict(x):
             variables = {"params": self.params}
             if self.batch_stats:
@@ -52,7 +68,69 @@ class Predictor:
             top_p, top_i = jax.lax.top_k(probs, self.top_k)
             return probs, top_p, top_i
 
-        self._predict = _predict
+        return _predict
+
+    # ---- AOT deployment artifacts -------------------------------------
+
+    def export(self, path: str, platforms=("cpu", "tpu")) -> str:
+        """Serialize the predict function (weights baked in as constants)
+        to ``path/predict.stablehlo`` + ``path/meta.json``.
+
+        The artifact is platform-portable across `platforms` and is served
+        by `Predictor.from_exported` with no model code or checkpoint.
+        A fresh trace is taken under `force_xla_trn` so no Pallas custom
+        call pins the module to one backend.
+        """
+        from jax import export as jax_export
+        from ta3n_tpu.models.trn import force_xla_trn
+
+        if self.model is None:
+            raise ValueError("this Predictor was loaded from an exported "
+                             "artifact; re-export from the checkpoint")
+        os.makedirs(path, exist_ok=True)
+        s = self.cfg.val_segments * self.cfg.sample_new_length
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, s, self.cfg.input_feature_dim), jnp.float32)
+        with force_xla_trn():
+            exported = jax_export.export(
+                jax.jit(self._make_predict_fn()),
+                platforms=tuple(platforms))(spec)
+        with open(os.path.join(path, _EXPORT_BIN), "wb") as f:
+            f.write(exported.serialize())
+        meta = {
+            "model_cfg": dataclasses.asdict(self.cfg),
+            "batch_size": self.batch_size,
+            "top_k": self.top_k,
+            "platforms": list(platforms),
+            "input_shape": list(spec.shape),
+        }
+        with open(os.path.join(path, _EXPORT_META), "w") as f:
+            json.dump(meta, f, indent=1)
+        return path
+
+    @staticmethod
+    def is_exported(path: str) -> bool:
+        return os.path.isfile(os.path.join(path, _EXPORT_BIN))
+
+    @classmethod
+    def from_exported(cls, path: str) -> "Predictor":
+        """Serve a `Predictor.export` artifact: no model code, no
+        checkpoint — the StableHLO module carries the weights."""
+        from jax import export as jax_export
+
+        with open(os.path.join(path, _EXPORT_META)) as f:
+            meta = json.load(f)
+        with open(os.path.join(path, _EXPORT_BIN), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        self = cls.__new__(cls)
+        self.cfg = ModelConfig(**meta["model_cfg"])
+        self.model = None
+        self.params = None
+        self.batch_stats = {}
+        self.batch_size = int(meta["batch_size"])
+        self.top_k = int(meta["top_k"])
+        self._predict = jax.jit(exported.call)
+        return self
 
     @classmethod
     def from_checkpoint(cls, weights: str, model_cfg: ModelConfig,
