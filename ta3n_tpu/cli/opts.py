@@ -184,6 +184,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'capability absent in the reference). '
                              'Host-feed path only (ignored with '
                              '--device_store / --steps_per_call > 1)')
+    parser.add_argument('--no_nan_guard', default=False,
+                        action='store_true',
+                        help='disable the divergence guard (by default a '
+                             'non-finite training loss aborts with an '
+                             'emergency checkpoint at the next metric '
+                             'flush; the reference trains on through NaN)')
     parser.add_argument('--store_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='dtype of the HBM-resident feature store '

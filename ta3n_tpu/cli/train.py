@@ -82,6 +82,7 @@ def main(argv=None):
                       device_sampler=args.device_sampler,
                       accum_steps=args.accum_steps,
                       model_parallel=args.model_parallel,
+                      nan_guard=not args.no_nan_guard,
                       seed=args.seed,
                       prefetch_depth=max(1, args.workers))
 

@@ -7,6 +7,7 @@ per-batch Python work is limited to schedule arithmetic and meter updates.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Optional
@@ -28,7 +29,18 @@ from ta3n_tpu.train.schedules import (alpha_schedule, dann_lr,
 from ta3n_tpu.train.step import (StepScalars, create_train_state,
                                  make_eval_step, make_train_step)
 
-__all__ = ["Trainer", "build_loaders", "class_weights_from_list"]
+__all__ = ["Trainer", "TrainingDivergedError", "build_loaders",
+           "class_weights_from_list"]
+
+
+class TrainingDivergedError(RuntimeError):
+    """Raised by the Trainer's nan_guard when a training-loss value
+    materializes non-finite.  Detection happens at the metric flush
+    (already a host sync) so the guard costs zero extra roundtrips and
+    lags divergence by at most one flush interval; fit() writes an
+    emergency checkpoint before the exception propagates.  The reference
+    trains on obliviously (its loss meters happily average NaN,
+    main.py:569)."""
 
 
 def class_weights_from_list(list_file: str, num_class: int,
@@ -121,7 +133,8 @@ class Trainer:
                  store_dtype: Optional[str] = None,
                  device_sampler: bool = False,
                  accum_steps: int = 1,
-                 model_parallel: int = 1):
+                 model_parallel: int = 1,
+                 nan_guard: bool = True):
         self.model_cfg, self.da_cfg, self.train_cfg = (model_cfg, da_cfg,
                                                        train_cfg)
         self.source_loader = source_loader
@@ -134,6 +147,7 @@ class Trainer:
         self.save_attention = save_attention
         self.logs = log_files
         self.profile_dir = profile_dir
+        self.nan_guard = nan_guard
         self.prefetch_depth = max(1, prefetch_depth)
         from ta3n_tpu.io_utils.tensorboard import EmbeddingWriter
         self.tb = EmbeddingWriter(tensorboard_dir)
@@ -474,6 +488,13 @@ class Trainer:
                     rows.append(item)
             for m in rows:
                 n = float(m["n"])
+                if self.nan_guard and not math.isfinite(float(m["loss"])):
+                    # divergence detection at the existing host sync: no
+                    # extra device roundtrips; fit()'s crash handler then
+                    # writes the emergency checkpoint before re-raising
+                    raise TrainingDivergedError(
+                        f"non-finite training loss {float(m['loss'])} at "
+                        f"epoch {epoch} (nan_guard=False disables)")
                 # weighted by batch size like the reference (main.py:569)
                 meters["loss"].update(float(m["loss"]), n)
                 meters["loss_c"].update(float(m["loss_c"]), n)
