@@ -59,7 +59,11 @@ import os
 BS = int(os.environ.get("TA3N_BENCH_BS", 128))
 BT = int(os.environ.get("TA3N_BENCH_BT", 74))
 COMPUTE_DTYPE = os.environ.get("TA3N_BENCH_DTYPE", "float32")
-SEG, FDIM, NCLASS = 5, 2048, 12
+# shape knobs for the other published recipes (defaults = UCF->HMDB_full;
+# Kinetics->Gameplay: FDIM=4096 C3D features, NCLASS=30 — SURVEY §6)
+SEG = int(os.environ.get("TA3N_BENCH_SEG", 5))
+FDIM = int(os.environ.get("TA3N_BENCH_FDIM", 2048))
+NCLASS = int(os.environ.get("TA3N_BENCH_NCLASS", 12))
 # K=16 re-measured best in round 2 (3-run means: K=16 554k vs K=8 485k
 # videos/s; r1 sweep had K=8 ahead — the tunnel's dispatch cost drifts
 # between sessions, so this stays an env knob)

@@ -1,0 +1,228 @@
+"""Config-space trace sweep over the reference's categorical flag surface.
+
+Samples combinations of every categorical flag (SURVEY §2.7, opts.py) and
+traces the FULL train step for each with jax.eval_shape — zero FLOPs, no
+compilation — so hundreds of configurations can be checked in CI time.
+The reference crashes or silently no-ops on many corners of this space
+(SURVEY §2.10); our contract is: every combination either traces or
+raises a documented ValueError.
+
+Run standalone to enumerate failures:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/config_space_sweep.py
+The pytest wrapper lives in tests/test_config_space.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.train import StepScalars, create_train_state, make_train_step
+from ta3n_tpu.train.step import make_eval_step
+
+SEGMENTS = 3
+FDIM = 16
+BS, BT = 4, 3
+
+AXES = {
+    "baseline_type": ("frame", "video", "tsn"),
+    "frame_aggregation": ("avgpool", "rnn", "temconv", "trn", "trn-m",
+                          "none"),
+    "use_attn": ("none", "TransAttn", "general"),
+    "use_attn_frame": ("none", "TransAttn", "general"),
+    "use_bn": ("none", "AdaBN", "AutoDIAL"),
+    "ens_DA": ("none", "MCD"),
+    "share_params": ("Y", "N"),
+    "add_fc": (1, 2, 3),
+    "use_target": ("none", "Sv", "uSv"),
+    "dis_DA": ("none", "DAN", "JAN", "CORAL"),
+    "adv_DA": ("none", "RevGrad"),
+    "add_loss_DA": ("none", "target_entropy", "attentive_entropy"),
+    "pred_normalize": ("N", "Y"),
+}
+
+# canonical corners always included (published recipe + each aggregator +
+# each DA family at full placement)
+CANONICAL = [
+    dict(baseline_type="video", frame_aggregation="trn-m",
+         use_attn="TransAttn", use_attn_frame="none", use_bn="none",
+         ens_DA="none", share_params="Y", add_fc=1, use_target="uSv",
+         dis_DA="none", adv_DA="RevGrad", add_loss_DA="attentive_entropy",
+         pred_normalize="N"),
+    dict(baseline_type="tsn", frame_aggregation="rnn", use_attn="none",
+         use_attn_frame="TransAttn", use_bn="AutoDIAL", ens_DA="MCD",
+         share_params="N", add_fc=3, use_target="uSv", dis_DA="JAN",
+         adv_DA="RevGrad", add_loss_DA="target_entropy",
+         pred_normalize="N"),
+    dict(baseline_type="frame", frame_aggregation="temconv",
+         use_attn="general", use_attn_frame="general", use_bn="AdaBN",
+         ens_DA="none", share_params="Y", add_fc=2, use_target="uSv",
+         dis_DA="DAN", adv_DA="none", add_loss_DA="none",
+         pred_normalize="Y"),
+    dict(baseline_type="video", frame_aggregation="trn", use_attn="none",
+         use_attn_frame="none", use_bn="none", ens_DA="none",
+         share_params="Y", add_fc=1, use_target="uSv", dis_DA="CORAL",
+         adv_DA="RevGrad", add_loss_DA="none", pred_normalize="N"),
+    dict(baseline_type="frame", frame_aggregation="none", use_attn="none",
+         use_attn_frame="none", use_bn="none", ens_DA="none",
+         share_params="Y", add_fc=1, use_target="none", dis_DA="none",
+         adv_DA="none", add_loss_DA="none", pred_normalize="N"),
+]
+
+
+def sample_combos(n: int, seed: int = 0):
+    """CANONICAL plus n seeded-random samples of the full product."""
+    rng = random.Random(seed)
+    keys = list(AXES)
+    combos = list(CANONICAL)
+    seen = {tuple(sorted(c.items())) for c in combos}
+    while len(combos) < len(CANONICAL) + n:
+        c = {k: rng.choice(AXES[k]) for k in keys}
+        sig = tuple(sorted(c.items()))
+        if sig in seen:
+            continue
+        seen.add(sig)
+        combos.append(c)
+    return combos
+
+
+def expected_error(combo: dict):
+    """Return a substring of the documented ValueError for combinations
+    that are rejected by design, or None if the combo must trace."""
+    if (combo["dis_DA"] == "JAN" and combo["use_target"] != "none"
+            and combo["baseline_type"] == "tsn"):
+        # the reference crashes on this config (loss.py:86 on an empty
+        # list); we reject it loudly at build time
+        return "incompatible with baseline_type='tsn'"
+    return None
+
+
+def trace_combo(combo: dict) -> None:
+    """Build model + step for one flag combination and trace it abstractly.
+
+    Raises on any trace-time failure (shape error, missing branch, ...).
+    """
+    place = ("Y",) * (combo["add_fc"] + 2)  # main.py:44-47 length contract
+    cfg = ModelConfig(num_class=4, train_segments=SEGMENTS,
+                      val_segments=SEGMENTS, fc_dim=FDIM, feature_dim=FDIM,
+                      dropout_i=0.1, dropout_v=0.1,
+                      baseline_type=combo["baseline_type"],
+                      frame_aggregation=combo["frame_aggregation"],
+                      use_attn=combo["use_attn"],
+                      use_attn_frame=combo["use_attn_frame"],
+                      use_bn=combo["use_bn"], ens_DA=combo["ens_DA"],
+                      share_params=combo["share_params"],
+                      add_fc=combo["add_fc"],
+                      n_ts=2, n_rnn=1)
+    da = DAConfig(use_target=combo["use_target"], dis_DA=combo["dis_DA"],
+                  adv_DA=combo["adv_DA"], add_loss_DA=combo["add_loss_DA"],
+                  ens_DA=combo["ens_DA"], pred_normalize=combo["pred_normalize"],
+                  place_dis=place, place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(BS, BT, BS))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    state = jax.eval_shape(
+        lambda r: create_train_state(model, r, BS, BT, tc), rng)
+    step = make_train_step(model, da, tc)
+    f32 = jnp.float32
+    xs = jax.ShapeDtypeStruct((BS, SEGMENTS, FDIM), f32)
+    xt = jax.ShapeDtypeStruct((BT, SEGMENTS, FDIM), f32)
+    ys = jax.ShapeDtypeStruct((BS,), jnp.int32)
+    yt = jax.ShapeDtypeStruct((BT,), jnp.int32)
+    ms = jax.ShapeDtypeStruct((BS,), f32)
+    mt = jax.ShapeDtypeStruct((BT,), f32)
+    sc = StepScalars(jax.ShapeDtypeStruct((3,), f32),
+                     *[jax.ShapeDtypeStruct((), f32)] * 4)
+    jax.eval_shape(step, state, xs, ys, ms, xt, yt, mt, sc, rng)
+
+    # eval step traces too (validate/test CLI path, main.py:669-761)
+    ev = make_eval_step(model)
+    jax.eval_shape(ev, state.params, state.batch_stats, xs, ys, ms)
+
+
+def execute_combo(combo: dict, n_steps: int = 2) -> None:
+    """Execute (not just trace) n_steps real optimizer steps for one
+    combo on synthetic data; assert the losses come back finite."""
+    import numpy as np
+
+    from ta3n_tpu.train import make_train_step  # noqa: F401 (re-export)
+
+    place = ("Y",) * (combo["add_fc"] + 2)
+    cfg = ModelConfig(num_class=4, train_segments=SEGMENTS,
+                      val_segments=SEGMENTS, fc_dim=FDIM, feature_dim=FDIM,
+                      dropout_i=0.1, dropout_v=0.1,
+                      baseline_type=combo["baseline_type"],
+                      frame_aggregation=combo["frame_aggregation"],
+                      use_attn=combo["use_attn"],
+                      use_attn_frame=combo["use_attn_frame"],
+                      use_bn=combo["use_bn"], ens_DA=combo["ens_DA"],
+                      share_params=combo["share_params"],
+                      add_fc=combo["add_fc"], n_ts=2, n_rnn=1)
+    da = DAConfig(use_target=combo["use_target"], dis_DA=combo["dis_DA"],
+                  adv_DA=combo["adv_DA"], add_loss_DA=combo["add_loss_DA"],
+                  ens_DA=combo["ens_DA"],
+                  # pred_normalize stays trace-only: x/log(var) on
+                  # fresh-init logits legitimately explodes (the reference
+                  # marks the flag 'in construction', main.py:424-427)
+                  pred_normalize="N",
+                  place_dis=place, place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.05, batch_size=(BS, BT, BS))
+    model = VideoModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, BS, BT, tc)
+    step = make_train_step(model, da, tc)
+    g = np.random.default_rng(0)
+    xs = g.normal(size=(BS, SEGMENTS, FDIM)).astype("float32")
+    xt = g.normal(size=(BT, SEGMENTS, FDIM)).astype("float32")
+    ys = g.integers(0, 4, size=BS).astype("int32")
+    yt = g.integers(0, 4, size=BT).astype("int32")
+    ms = np.ones(BS, "float32")
+    mt = np.ones(BT, "float32")
+    sc = StepScalars(jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+                     jnp.asarray(0.1), jnp.asarray(0.2), jnp.asarray(0.01),
+                     jnp.asarray(0.05))
+    for i in range(n_steps):
+        state, m = step(state, xs, ys, ms, xt, yt, mt, sc,
+                        jax.random.fold_in(rng, i))
+        assert np.isfinite(float(m["loss"])), (combo, dict(m))
+
+
+def check_combo(combo: dict) -> None:
+    """Assert the combo honors the contract: traces cleanly, or raises
+    the documented ValueError."""
+    want = expected_error(combo)
+    if want is None:
+        trace_combo(combo)
+        return
+    try:
+        trace_combo(combo)
+    except ValueError as e:
+        assert want in str(e), (combo, str(e))
+        return
+    raise AssertionError(f"expected ValueError({want!r}) for {combo}")
+
+
+def main(n: int = 120, seed: int = 0) -> int:
+    combos = sample_combos(n, seed)
+    failures = []
+    for i, combo in enumerate(combos):
+        try:
+            check_combo(combo)
+        except Exception as e:  # noqa: BLE001 — enumerating failures
+            failures.append((combo, repr(e)))
+            print(f"[{i}] FAIL {combo}\n    {e!r}")
+    print(f"{len(combos) - len(failures)}/{len(combos)} combinations "
+          f"honor the trace-or-documented-error contract")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    sys.exit(main(n))

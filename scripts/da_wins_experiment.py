@@ -45,8 +45,11 @@ def run_one(seed: int, use_da: bool, args) -> float:
     if use_da:
         if args.da_variant == "full":
             da = DAConfig(use_target="uSv", adv_DA="RevGrad",
-                          add_loss_DA="attentive_entropy",
-                          place_adv=("Y", "Y", "Y"))
+                          add_loss_DA=("none"
+                                       if tuple(args.place_adv)
+                                       == ("N", "N", "N")
+                                       else "attentive_entropy"),
+                          place_adv=tuple(args.place_adv))
         elif args.da_variant == "dan":
             da = DAConfig(use_target="uSv", dis_DA="DAN",
                           place_dis=("N", "Y", "N"))
@@ -103,6 +106,14 @@ def main():
                     help="same task geometry for every seed")
     ap.add_argument("--beta", type=float, nargs=3,
                     default=[0.75, 0.75, 0.5])
+    ap.add_argument("--place_adv", type=str, nargs=3,
+                    default=["Y", "Y", "Y"],
+                    help="adversarial placement ablation for the 'full' "
+                         "variant: [relation, video, frame] like the "
+                         "reference's --place_adv (opts.py:67-68); "
+                         "N N N = no adversarial loss (attentive entropy "
+                         "is dropped too since the attention weights are "
+                         "untrained then)")
     ap.add_argument("--dann_lr", action="store_true")
     ap.add_argument("--compute_dtype", default="float32",
                     choices=["float32", "bfloat16"],
@@ -155,7 +166,7 @@ def main():
                       "mean_gain": float(np.mean(gains)),
                       "angle": args.angle, "epochs": args.epochs,
                       "variant": args.da_variant, "alpha": args.alpha,
-                      "lr": args.lr,
+                      "lr": args.lr, "place_adv": list(args.place_adv),
                       "compute_dtype": args.compute_dtype}))
 
 

@@ -269,6 +269,16 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
         # ignore the shared-layer features (main.py:463-465)
         fs = [flat(f) for f in feat_s[:-add_fc]]
         ft = [flat(f) for f in feat_t[:-add_fc]]
+        if not fs:
+            # baseline_type 'tsn' exposes ONLY the shared-layer feats
+            # (models.py:620,675,690 are all gated on frame/video), so the
+            # reference's own JAN crashes on an empty list
+            # (loss.py:86 source_list[0] IndexError).  Error loudly here;
+            # make_train_step rejects the config at build time.
+            raise ValueError(
+                "JAN requires frame- or video-level features; "
+                "baseline_type 'tsn' provides none beyond the shared "
+                "layers (the reference crashes on this config too)")
         return JAN(fs, ft, kernel_muls=kernel_muls, kernel_nums=kernel_nums,
                    fix_sigma_list=[None, None], ver=2)
 
@@ -363,6 +373,14 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         raise ValueError("combined_store_rows requires "
                          "gather_on_device=True (it is a device-store "
                          "gather layout)")
+    if da.dis_DA == "JAN" and use_tgt and cfg.baseline_type == "tsn":
+        # tsn exposes only shared-layer feats, which JAN ignores by
+        # definition (main.py:463-465) — the reference crashes on an empty
+        # list (loss.py:86); reject at build time with the reason
+        raise ValueError(
+            "dis_DA='JAN' is incompatible with baseline_type='tsn': JAN "
+            "ignores shared-layer features and tsn provides no others "
+            "(the reference crashes on this config, loss.py:86)")
 
     def loss_fn(params, batch_stats, xs, ys, mask_s, xt, yt, mask_t,
                 scalars: StepScalars, rng, rows=None):

@@ -1,0 +1,62 @@
+"""Config-space trace sweep (SURVEY §2.7 flag surface).
+
+Every sampled combination of the reference's categorical flags must
+either trace a FULL train step + eval step (jax.eval_shape — zero FLOPs,
+no compile) or raise the documented ValueError.  The reference crashes
+or silently no-ops on many corners of this space (SURVEY §2.10:
+tsn+JAN IndexError, 3D-feat discrepancy RuntimeError, DotProduct
+accepted-but-unimplemented, ...); here the contract over the whole
+space is CI-enforced.  scripts/config_space_sweep.py is the standalone
+enumerator.
+"""
+
+import time
+
+from scripts.config_space_sweep import (CANONICAL, check_combo,
+                                        expected_error, sample_combos)
+
+N_SAMPLES = 60  # + the canonical corners; ~1 s/combo of pure tracing
+
+
+def test_canonical_corners_trace():
+    for combo in CANONICAL:
+        check_combo(combo)
+
+
+def test_sampled_config_space_traces_or_errors():
+    combos = sample_combos(N_SAMPLES, seed=0)[len(CANONICAL):]
+    t0 = time.time()
+    rejected = 0
+    for combo in combos:
+        check_combo(combo)
+        rejected += expected_error(combo) is not None
+    # the seeded sample must actually exercise the documented-reject path
+    assert rejected >= 1, "seed produced no rejected combos; bump seed"
+    assert time.time() - t0 < 600
+
+
+def test_sampled_configs_execute():
+    """Beyond tracing: a seeded handful of sampled combos run two real
+    optimizer steps and must return finite losses (catches runtime-only
+    failures a shape trace cannot)."""
+    from scripts.config_space_sweep import execute_combo
+
+    combos = [c for c in sample_combos(20, seed=7)
+              if expected_error(c) is None][:3]
+    assert len(combos) == 3
+    for combo in combos:
+        execute_combo(combo, n_steps=2)
+
+
+def test_tsn_jan_rejected_at_build_time():
+    """The reference crashes at runtime (loss.py:86 on an empty feature
+    list); we reject the config when the step is built."""
+    import pytest
+
+    from scripts.config_space_sweep import trace_combo
+
+    combo = dict(CANONICAL[0], baseline_type="tsn", dis_DA="JAN",
+                 use_target="uSv")
+    assert expected_error(combo) is not None
+    with pytest.raises(ValueError, match="tsn"):
+        trace_combo(combo)
