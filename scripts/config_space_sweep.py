@@ -14,7 +14,6 @@ The pytest wrapper lives in tests/test_config_space.py.
 
 from __future__ import annotations
 
-import itertools
 import random
 import sys
 
@@ -151,8 +150,6 @@ def execute_combo(combo: dict, n_steps: int = 2) -> None:
     """Execute (not just trace) n_steps real optimizer steps for one
     combo on synthetic data; assert the losses come back finite."""
     import numpy as np
-
-    from ta3n_tpu.train import make_train_step  # noqa: F401 (re-export)
 
     place = ("Y",) * (combo["add_fc"] + 2)
     cfg = ModelConfig(num_class=4, train_segments=SEGMENTS,

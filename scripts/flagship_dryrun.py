@@ -25,6 +25,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--feature_dim", type=int, default=2048)
     ap.add_argument("--shift", type=float, default=1.2)
+    # dataset-scale knobs; defaults = UCF->HMDB_full.  Kinetics->Gameplay
+    # scale (SURVEY §6: 30 classes, 49,998 videos, 4096-d C3D features):
+    #   --num_class 30 --feature_dim 4096 --videos 35000 15000 2998 \
+    #   --max_frames 16 --device_store --store_dtype bfloat16
+    ap.add_argument("--num_class", type=int, default=12)
+    ap.add_argument("--videos", type=int, nargs=3,
+                    default=[1438, 840, 404],
+                    help="[source, target, val] video counts")
+    ap.add_argument("--min_frames", type=int, default=8)
+    ap.add_argument("--max_frames", type=int, default=40)
     ap.add_argument("--device_store", action="store_true",
                     help="HBM-resident feature stores, on-device gather")
     ap.add_argument("--steps_per_call", type=int, default=1)
@@ -44,14 +54,18 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
 
-    src = make_synthetic_store(1438, 12, args.feature_dim, shift=0.0,
-                               seed=0, prefix="src")
-    tgt = make_synthetic_store(840, 12, args.feature_dim, shift=args.shift,
-                               seed=1, prefix="tgt")
-    val = make_synthetic_store(404, 12, args.feature_dim, shift=args.shift,
-                               seed=2, prefix="val")
+    fr = dict(min_frames=args.min_frames, max_frames=args.max_frames)
+    src = make_synthetic_store(args.videos[0], args.num_class,
+                               args.feature_dim, shift=0.0, seed=0,
+                               prefix="src", **fr)
+    tgt = make_synthetic_store(args.videos[1], args.num_class,
+                               args.feature_dim, shift=args.shift, seed=1,
+                               prefix="tgt", **fr)
+    val = make_synthetic_store(args.videos[2], args.num_class,
+                               args.feature_dim, shift=args.shift, seed=2,
+                               prefix="val", **fr)
 
-    cfg = ModelConfig(num_class=12, baseline_type="video",
+    cfg = ModelConfig(num_class=args.num_class, baseline_type="video",
                       frame_aggregation="trn-m", train_segments=5,
                       val_segments=5, add_fc=1, fc_dim=512,
                       feature_dim=args.feature_dim, dropout_i=0.5,

@@ -104,7 +104,12 @@ def main():
     ap.add_argument("--combined", action="store_true",
                     help="combined-store fast path (one packed store, "
                          "one flat gather)")
+    ap.add_argument("--bs", type=int, default=128,
+                    help="source batch (batch-scaling profiles)")
+    ap.add_argument("--bt", type=int, default=74)
     args = ap.parse_args()
+    global BS, BT
+    BS, BT = args.bs, args.bt
     jax.config.update("jax_default_prng_impl", args.prng_impl)
 
     state, step, sargs, sc, rng = build_step(args.k, args.dtype,
