@@ -33,7 +33,7 @@ AXES = {
     "baseline_type": ("frame", "video", "tsn"),
     "frame_aggregation": ("avgpool", "rnn", "temconv", "trn", "trn-m",
                           "none"),
-    "use_attn": ("none", "TransAttn", "general"),
+    "use_attn": ("none", "TransAttn", "general", "DotProduct"),
     "use_attn_frame": ("none", "TransAttn", "general"),
     "use_bn": ("none", "AdaBN", "AutoDIAL"),
     "ens_DA": ("none", "MCD"),
@@ -94,6 +94,10 @@ def sample_combos(n: int, seed: int = 0):
 def expected_error(combo: dict):
     """Return a substring of the documented ValueError for combinations
     that are rejected by design, or None if the combo must trace."""
+    if combo["use_attn"] == "DotProduct":
+        # accepted-but-unimplemented in the reference (opts.py:50-51);
+        # rejected loudly at ModelConfig construction
+        return "DotProduct"
     if (combo["dis_DA"] == "JAN" and combo["use_target"] != "none"
             and combo["baseline_type"] == "tsn"):
         # the reference crashes on this config (loss.py:86 on an empty
