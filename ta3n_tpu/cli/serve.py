@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--share_params", default="Y")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--data_parallel", default=False, action="store_true",
+                   help="shard each request batch over all local devices "
+                        "(1-D data mesh compiled into the predict program)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--export", default=None, metavar="DIR",
@@ -46,10 +49,14 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     class_names = load_class_names(args.class_file)
+    mesh = None
+    if args.data_parallel:
+        from ta3n_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     if Predictor.is_exported(args.weights):
         # WEIGHTS is a Predictor.export artifact: model flags are taken
         # from its meta.json, not the CLI
-        predictor = Predictor.from_exported(args.weights)
+        predictor = Predictor.from_exported(args.weights, mesh=mesh)
     else:
         cfg = ModelConfig(
             num_class=len(class_names), baseline_type=args.baseline_type,
@@ -63,7 +70,7 @@ def main(argv=None):
             share_params=args.share_params)
         predictor = Predictor.from_checkpoint(args.weights, cfg,
                                               batch_size=args.batch_size,
-                                              top_k=args.top_k)
+                                              top_k=args.top_k, mesh=mesh)
     if args.export:
         out = predictor.export(args.export,
                                platforms=tuple(args.export_platforms))

@@ -42,17 +42,34 @@ _EXPORT_META = "meta.json"
 
 
 class Predictor:
-    """Fixed-batch jitted inference with automatic padding."""
+    """Fixed-batch jitted inference with automatic padding.
+
+    ``mesh=`` shards each request batch over a ``jax.sharding.Mesh``
+    (data-parallel serving over ICI — the reference's only multi-device
+    inference is DataParallel replication, test_models.py:108).  The
+    sharding is compiled into the predict program; ``batch_size`` is
+    rounded up to a device multiple so every chip gets equal rows.
+    """
 
     def __init__(self, model_cfg: ModelConfig, params, batch_stats=None,
-                 batch_size: int = 64, top_k: int = 5):
+                 batch_size: int = 64, top_k: int = 5, mesh=None):
         self.cfg = model_cfg
         self.model = VideoModel(model_cfg)
         self.params = params
         self.batch_stats = batch_stats or {}
+        self.mesh = mesh
+        if mesh is not None:
+            from ta3n_tpu.parallel.mesh import pad_to_multiple
+            batch_size = pad_to_multiple(batch_size, mesh.devices.size)
         self.batch_size = batch_size
         self.top_k = min(top_k, model_cfg.num_class)
-        self._predict = jax.jit(self._make_predict_fn())
+        self._predict = self._jit(self._make_predict_fn())
+
+    def _jit(self, fn):
+        if self.mesh is None:
+            return jax.jit(fn)
+        from ta3n_tpu.parallel.mesh import batch_sharding
+        return jax.jit(fn, in_shardings=batch_sharding(self.mesh))
 
     def _make_predict_fn(self):
         def _predict(x):
@@ -113,9 +130,15 @@ class Predictor:
         return os.path.isfile(os.path.join(path, _EXPORT_BIN))
 
     @classmethod
-    def from_exported(cls, path: str) -> "Predictor":
+    def from_exported(cls, path: str, mesh=None) -> "Predictor":
         """Serve a `Predictor.export` artifact: no model code, no
-        checkpoint — the StableHLO module carries the weights."""
+        checkpoint — the StableHLO module carries the weights.
+
+        ``mesh=`` batch-shards each request over the mesh: the exported
+        module is inlined at trace time, so GSPMD partitions it like a
+        live predict function.  The artifact's batch size must already be
+        a device multiple (export with one if you plan to shard).
+        """
         from jax import export as jax_export
 
         with open(os.path.join(path, _EXPORT_META)) as f:
@@ -127,9 +150,15 @@ class Predictor:
         self.model = None
         self.params = None
         self.batch_stats = {}
+        self.mesh = mesh
         self.batch_size = int(meta["batch_size"])
+        if mesh is not None and self.batch_size % mesh.devices.size:
+            raise ValueError(
+                f"exported batch size {self.batch_size} is not divisible "
+                f"by the {mesh.devices.size}-device mesh; re-export with "
+                f"a device-multiple batch size")
         self.top_k = int(meta["top_k"])
-        self._predict = jax.jit(exported.call)
+        self._predict = self._jit(exported.call)
         return self
 
     @classmethod

@@ -103,3 +103,29 @@ def test_serve_cli_export_and_load(tmp_path):
     probs, tp, ti = served(x)
     assert probs.shape == (3, 4) and ti.shape == (3, 3)
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
+
+
+def test_exported_serves_on_mesh(live_predictor, tmp_path):
+    """An exported artifact with a device-multiple batch size can be
+    re-served data-parallel: GSPMD partitions the inlined module."""
+    from ta3n_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    path = str(tmp_path / "aot8")
+    wide = Predictor(CFG, live_predictor.params,
+                     live_predictor.batch_stats, batch_size=8, top_k=3)
+    wide.export(path, platforms=("cpu",))
+    sharded = Predictor.from_exported(path, mesh=mesh)
+    x = np.random.default_rng(3).normal(size=(6, 3, 16)).astype(np.float32)
+    p0, _, ti0 = wide(x)
+    p1, _, ti1 = sharded(x)
+    np.testing.assert_allclose(p0, p1, rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(ti0, ti1)
+
+    # non-divisible artifact batch -> loud error
+    path2 = str(tmp_path / "aot5")
+    odd = Predictor(CFG, live_predictor.params,
+                    live_predictor.batch_stats, batch_size=5, top_k=3)
+    odd.export(path2, platforms=("cpu",))
+    with pytest.raises(ValueError, match="not divisible"):
+        Predictor.from_exported(path2, mesh=mesh)

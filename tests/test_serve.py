@@ -77,3 +77,21 @@ def test_http_endpoint(predictor):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.loads(e.read())
+
+
+def test_mesh_predictor_matches_single_device(predictor):
+    """--data_parallel serving: batch sharded over the 8-device CPU mesh
+    must reproduce the single-device predictor bitwise-tolerance."""
+    from ta3n_tpu.parallel.mesh import make_mesh
+
+    state_params = predictor.params
+    mesh = make_mesh()
+    sharded = Predictor(CFG, state_params, predictor.batch_stats,
+                        batch_size=5, top_k=3, mesh=mesh)
+    # batch_size rounds UP to a device multiple
+    assert sharded.batch_size == 8
+    x = np.random.default_rng(2).normal(size=(11, 3, 16)).astype(np.float32)
+    p0, tp0, ti0 = predictor(x)
+    p1, tp1, ti1 = sharded(x)
+    np.testing.assert_allclose(p0, p1, rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(ti0, ti1)
