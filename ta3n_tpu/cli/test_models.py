@@ -79,6 +79,12 @@ def build_parser():
                         choices=['float32', 'bfloat16'],
                         help='HBM store dtype (device_store only); '
                              'bfloat16 halves residency + gather bytes')
+    parser.add_argument('--data_parallel', default=False,
+                        action='store_true',
+                        help='shard each eval batch over all local devices '
+                             '(the mesh equivalent of the reference running '
+                             'eval under DataParallel, test_models.py:108); '
+                             '--bS rounds up to a device multiple')
     return parser
 
 
@@ -116,6 +122,17 @@ def main(argv=None):
         print("model epoch {} prec@1: {}".format(payload.get("epoch"),
                                                  payload.get("prec1")))
 
+    mesh = None
+    if args.data_parallel:
+        from ta3n_tpu.parallel.mesh import make_mesh, pad_to_multiple
+        mesh = make_mesh()
+        padded = pad_to_multiple(args.bS, mesh.devices.size)
+        if padded != args.bS:
+            print(f"--data_parallel: batch size {args.bS} -> {padded} "
+                  f"({mesh.devices.size}-device multiple; mask covers "
+                  f"the padding)")
+            args.bS = padded
+
     records = parse_list_file(args.test_list)
     store_dir = args.store or os.path.dirname(
         os.path.abspath(args.test_list))
@@ -151,10 +168,7 @@ def main(argv=None):
             x = x * mask[:, None, None].astype(x.dtype)
             return _infer(x)
 
-        infer_idx = jax.jit(infer_idx_raw)
-
-        @jax.jit
-        def infer_all(store_dev, idx, mask):
+        def _infer_all(store_dev, idx, mask):
             # whole test set scanned in ONE dispatch; per-batch outputs
             # stacked and fetched once (per-batch device_get costs one
             # ~40 ms tunnel roundtrip each)
@@ -163,19 +177,38 @@ def main(argv=None):
                 return carry, infer_idx_raw(store_dev, i, m)
             return jax.lax.scan(body, None, (idx, mask))[1]
 
+        if mesh is not None:
+            # store replicated, per-batch row axis sharded over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            row = NamedSharding(mesh, PartitionSpec("data"))
+            stacked = NamedSharding(mesh, PartitionSpec(None, "data"))
+            infer_idx = jax.jit(infer_idx_raw, in_shardings=(rep, row, row))
+            infer_all = jax.jit(_infer_all,
+                                in_shardings=(rep, stacked, stacked))
+        else:
+            rep = None
+            infer_idx = jax.jit(infer_idx_raw)
+            infer_all = jax.jit(_infer_all)
+
         s_dtype = (jnp.dtype(args.store_dtype)
                    if args.store_dtype != 'float32' else None)
         if streaming:
             from ta3n_tpu.data.streaming import ShardPlan, ShardStream
             plan = ShardPlan(store.offsets, args.store_budget_rows)
-            stream = ShardStream(store.features, plan, dtype=s_dtype)
+            stream = ShardStream(store.features, plan, dtype=s_dtype,
+                                 sharding=rep)
         else:
             arr = np.ascontiguousarray(store.features)
             if s_dtype is not None and arr.dtype != s_dtype:
                 arr = arr.astype(s_dtype)
-            store_dev = jax.device_put(arr)
+            store_dev = jax.device_put(arr, rep)
     else:
-        infer = jax.jit(_infer)
+        if mesh is not None:
+            from ta3n_tpu.parallel.mesh import batch_sharding
+            infer = jax.jit(_infer, in_shardings=batch_sharding(mesh))
+        else:
+            infer = jax.jit(_infer)
 
     all_scores, all_labels, all_topk, all_attn = [], [], [], []
     start = time.time()

@@ -223,6 +223,30 @@ def test_eval_cli_streaming_store(workspace):
     assert streamed == resident
 
 
+def test_eval_cli_data_parallel(workspace):
+    """--data_parallel eval (mesh equivalent of the reference's
+    DataParallel eval, test_models.py:108): every store path sharded over
+    the 8-device mesh must reproduce the single-device Pred@K line, with
+    --bS rounded up to a device multiple under the mask."""
+    from ta3n_tpu.cli.test_models import main
+    exp = workspace / "exp"
+    base = [
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(exp) + "/RGB/model_best",
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn",
+        "--bS", "4", "--top", "1", "2",
+    ]
+    host = main(base)
+    assert main(base + ["--data_parallel"]) == host
+    assert main(base + ["--data_parallel", "--device_store"]) == host
+    assert main(base + ["--data_parallel", "--device_store",
+                        "--store_budget_rows", "60"]) == host
+
+
 def test_train_cli_accum_steps(workspace):
     """--accum_steps through the real CLI: G micro-batch pairs per
     optimizer update (VERDICT r2 #5; capability absent in the
