@@ -34,7 +34,7 @@ AXES = {
     "frame_aggregation": ("avgpool", "rnn", "temconv", "trn", "trn-m",
                           "none"),
     "use_attn": ("none", "TransAttn", "general", "DotProduct"),
-    "use_attn_frame": ("none", "TransAttn", "general"),
+    "use_attn_frame": ("none", "TransAttn", "general", "DotProduct"),
     "use_bn": ("none", "AdaBN", "AutoDIAL"),
     "ens_DA": ("none", "MCD"),
     "share_params": ("Y", "N"),
@@ -94,9 +94,11 @@ def sample_combos(n: int, seed: int = 0):
 def expected_error(combo: dict):
     """Return a substring of the documented ValueError for combinations
     that are rejected by design, or None if the combo must trace."""
-    if combo["use_attn"] == "DotProduct":
-        # accepted-but-unimplemented in the reference (opts.py:50-51);
-        # rejected loudly at ModelConfig construction
+    if (combo["use_attn"] == "DotProduct"
+            or combo["use_attn_frame"] == "DotProduct"):
+        # accepted-but-unimplemented in the reference (opts.py:50-51),
+        # at both attention levels; rejected loudly at ModelConfig
+        # construction
         return "DotProduct"
     if (combo["dis_DA"] == "JAN" and combo["use_target"] != "none"
             and combo["baseline_type"] == "tsn"):

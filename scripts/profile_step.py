@@ -27,7 +27,8 @@ BS, BT, SEG, FDIM, NCLASS = 128, 74, 5, 2048, 12
 
 
 def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
-               unroll: int = 1, combined: bool = False):
+               unroll: int = 1, combined: bool = False,
+               bs: int = BS, bt: int = BT):
     from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
     from ta3n_tpu.models import VideoModel
     from ta3n_tpu.train import StepScalars, create_train_state
@@ -41,10 +42,10 @@ def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
     da = DAConfig(use_target="uSv", adv_DA="RevGrad",
                   add_loss_DA="attentive_entropy",
                   place_adv=("Y", "Y", "Y"))
-    tc = TrainConfig(optimizer="SGD", lr=0.03, batch_size=(BS, BT, BS))
+    tc = TrainConfig(optimizer="SGD", lr=0.03, batch_size=(bs, bt, bs))
     model = VideoModel(cfg)
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(model, rng, BS, BT, tc)
+    state = create_train_state(model, rng, bs, bt, tc)
     step = make_multi_train_step(
         model, da, tc, unroll=unroll,
         combined_store_rows=20000 if combined else None)
@@ -55,12 +56,12 @@ def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
         g.normal(size=(20000, FDIM)).astype(np.float32), dtype=sdt))
     store_t = jax.device_put(jnp.asarray(
         g.normal(size=(12000, FDIM)).astype(np.float32), dtype=sdt))
-    idx_s = g.integers(0, 20000, size=(k, BS, SEG)).astype(np.int32)
-    ys = g.integers(0, NCLASS, size=(k, BS)).astype(np.int32)
-    ms = np.ones((k, BS), np.float32)
-    idx_t = g.integers(0, 12000, size=(k, BT, SEG)).astype(np.int32)
-    yt = g.integers(0, NCLASS, size=(k, BT)).astype(np.int32)
-    mt = np.ones((k, BT), np.float32)
+    idx_s = g.integers(0, 20000, size=(k, bs, SEG)).astype(np.int32)
+    ys = g.integers(0, NCLASS, size=(k, bs)).astype(np.int32)
+    ms = np.ones((k, bs), np.float32)
+    idx_t = g.integers(0, 12000, size=(k, bt, SEG)).astype(np.int32)
+    yt = g.integers(0, NCLASS, size=(k, bt)).astype(np.int32)
+    mt = np.ones((k, bt), np.float32)
     if combined:
         store = jnp.concatenate([store_s, store_t], axis=0)
         args = (store, idx_s, ys, ms, idx_t, yt, mt)
@@ -108,13 +109,12 @@ def main():
                     help="source batch (batch-scaling profiles)")
     ap.add_argument("--bt", type=int, default=74)
     args = ap.parse_args()
-    global BS, BT
-    BS, BT = args.bs, args.bt
     jax.config.update("jax_default_prng_impl", args.prng_impl)
 
     state, step, sargs, sc, rng = build_step(args.k, args.dtype,
                                              args.store_dtype,
-                                             args.unroll, args.combined)
+                                             args.unroll, args.combined,
+                                             args.bs, args.bt)
 
     # compile + warm
     for _ in range(2):

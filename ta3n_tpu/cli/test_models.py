@@ -180,8 +180,10 @@ def main(argv=None):
         if mesh is not None:
             # store replicated, per-batch row axis sharded over the mesh
             from jax.sharding import NamedSharding, PartitionSpec
-            rep = NamedSharding(mesh, PartitionSpec())
-            row = NamedSharding(mesh, PartitionSpec("data"))
+            from ta3n_tpu.parallel.mesh import (batch_sharding,
+                                                replicated_sharding)
+            rep = replicated_sharding(mesh)
+            row = batch_sharding(mesh)
             stacked = NamedSharding(mesh, PartitionSpec(None, "data"))
             infer_idx = jax.jit(infer_idx_raw, in_shardings=(rep, row, row))
             infer_all = jax.jit(_infer_all,

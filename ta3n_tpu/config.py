@@ -81,6 +81,11 @@ class ModelConfig:
             # we reject it loudly instead of silently doing nothing.
             raise ValueError("use_attn DotProduct is not implemented "
                              "(unimplemented in the reference as well)")
+        if self.use_attn_frame in ("DotProduct",):
+            # same accepted-but-unimplemented flag value on the frame
+            # level (reference opts.py:50-51 / models.py:369 fallthrough)
+            raise ValueError("use_attn_frame DotProduct is not implemented "
+                             "(unimplemented in the reference as well)")
 
     @property
     def input_feature_dim(self) -> int:

@@ -28,7 +28,10 @@ def workspace(tmp_path_factory):
     return root
 
 
-def test_train_cli_end_to_end(workspace):
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Train once into workspace/exp; eval/resume tests depend on this
+    fixture (not on test ordering) for the checkpoint."""
     from ta3n_tpu.cli.train import main
     exp = workspace / "exp"
     best = main([
@@ -52,7 +55,12 @@ def test_train_cli_end_to_end(workspace):
         "--save_model", "-pf", "1", "-sf", "100", "-ef", "1",
         "--save_best_log", str(exp) + "/best.log",
     ])
-    assert best >= 0.0
+    return best
+
+
+def test_train_cli_end_to_end(workspace, trained):
+    exp = workspace / "exp"
+    assert trained >= 0.0
     path_exp = str(exp) + "/RGB/"
     assert os.path.isdir(path_exp + "checkpoint")
     assert os.path.isdir(path_exp + "model_best")
@@ -86,7 +94,7 @@ def test_train_cli_device_sampler_bf16_store(workspace):
     assert os.path.getsize(str(exp) + "/RGB/train.log") > 0
 
 
-def test_eval_cli(workspace):
+def test_eval_cli(workspace, trained):
     from ta3n_tpu.cli.test_models import main
     exp = workspace / "exp"
     out = main([
@@ -113,7 +121,7 @@ def test_eval_cli(workspace):
     assert os.path.isfile(str(exp) + "/confusion-top[1, 2].txt")
 
 
-def test_eval_cli_device_store(workspace):
+def test_eval_cli_device_store(workspace, trained):
     from ta3n_tpu.cli.test_models import main
     exp = workspace / "exp"
     out = main([
@@ -141,7 +149,7 @@ def test_eval_cli_device_store(workspace):
     assert out == host
 
 
-def test_resume_from_checkpoint(workspace):
+def test_resume_from_checkpoint(workspace, trained):
     from ta3n_tpu.cli.train import main
     exp = workspace / "exp"
     best = main([
@@ -202,7 +210,7 @@ def test_train_val_script_both_branches(workspace, tmp_path):
     assert probs.ndim == 2 and probs.shape[0] > 0
 
 
-def test_eval_cli_streaming_store(workspace):
+def test_eval_cli_streaming_store(workspace, trained):
     """--store_budget_rows: shard-streamed eval == resident device-store
     eval (same Pred@K line)."""
     from ta3n_tpu.cli.test_models import main
@@ -223,7 +231,7 @@ def test_eval_cli_streaming_store(workspace):
     assert streamed == resident
 
 
-def test_eval_cli_data_parallel(workspace):
+def test_eval_cli_data_parallel(workspace, trained):
     """--data_parallel eval (mesh equivalent of the reference's
     DataParallel eval, test_models.py:108): every store path sharded over
     the 8-device mesh must reproduce the single-device Pred@K line, with

@@ -60,3 +60,17 @@ def test_tsn_jan_rejected_at_build_time():
     assert expected_error(combo) is not None
     with pytest.raises(ValueError, match="tsn"):
         trace_combo(combo)
+
+
+def test_dotproduct_rejected_at_both_attention_levels():
+    """The reference accepts --use_attn/--use_attn_frame DotProduct but
+    never implements it (opts.py:50-51); both levels must be rejected
+    loudly at ModelConfig construction instead of silently no-opping."""
+    import pytest
+
+    from ta3n_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="DotProduct"):
+        ModelConfig(num_class=3, use_attn="DotProduct")
+    with pytest.raises(ValueError, match="DotProduct"):
+        ModelConfig(num_class=3, use_attn_frame="DotProduct")
