@@ -7,8 +7,11 @@ per-batch Python work is limited to schedule arithmetic and meter updates.
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
+import signal
+import threading
 import time
 from typing import Optional
 
@@ -41,6 +44,37 @@ class TrainingDivergedError(RuntimeError):
     emergency checkpoint before the exception propagates.  The reference
     trains on obliviously (its loss meters happily average NaN,
     main.py:569)."""
+
+
+@contextlib.contextmanager
+def _sigterm_as_interrupt():
+    """Deliver SIGTERM as KeyboardInterrupt for the duration of fit().
+
+    TPU pods get preempted and cluster schedulers kill with SIGTERM (so
+    does ``timeout``); by default Python just dies, losing the epoch
+    state.  Re-raising it as KeyboardInterrupt routes preemption through
+    fit()'s emergency-checkpoint path, making any run resumable from the
+    last completed epoch.  Installed only in the main thread (CPython
+    restricts signal.signal to it) and only when SIGTERM is at its
+    default disposition — an application's own handler, or an explicit
+    SIG_IGN, is respected.  The previous disposition is restored on exit.
+    Failure handling the reference lacks entirely (SURVEY §5.3)."""
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
+    prev = signal.getsignal(signal.SIGTERM)
+    if prev is not signal.SIG_DFL:
+        yield
+        return
+
+    def _raise(signum, frame):
+        raise KeyboardInterrupt("SIGTERM (preemption)")
+
+    signal.signal(signal.SIGTERM, _raise)
+    try:
+        yield
+    finally:
+        signal.signal(signal.SIGTERM, prev)
 
 
 def class_weights_from_list(list_file: str, num_class: int,
@@ -1008,11 +1042,13 @@ class Trainer:
 
     # ---- full run (main.py:228-306) ----
     def fit(self):
-        """Epoch loop with emergency checkpointing: an interrupt or crash
-        mid-run saves a resumable checkpoint before re-raising (failure
-        recovery the reference lacks, SURVEY §5.3)."""
+        """Epoch loop with emergency checkpointing: an interrupt, SIGTERM
+        (pod preemption / scheduler kill — see ``_sigterm_as_interrupt``),
+        or crash mid-run saves a resumable checkpoint before re-raising
+        (failure recovery the reference lacks, SURVEY §5.3)."""
         try:
-            return self._fit()
+            with _sigterm_as_interrupt():
+                return self._fit()
         except BaseException:
             if self.save_model and self._last_epoch_done >= 1:
                 self.save(self._last_epoch_done, self.best_prec1, False)
