@@ -34,10 +34,21 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # dropout RNG implementation (must be set before any PRNGKey is made;
-    # rbg measured +10% step throughput on TPU — BENCH_NOTES.md)
+    # rbg measured +10% step throughput on TPU — BENCH_NOTES.md).  The
+    # flag is process-global jax config, so restore it on return: tests
+    # and applications call main() in-process, and leaking rbg into the
+    # caller silently changes every later PRNG stream (found as an
+    # order-dependent DAN-trajectory shift in the full suite).
     import jax as _jax
+    prev_prng_impl = _jax.config.jax_default_prng_impl
     _jax.config.update("jax_default_prng_impl", args.prng_impl)
+    try:
+        return _run(args)
+    finally:
+        _jax.config.update("jax_default_prng_impl", prev_prng_impl)
 
+
+def _run(args):
     print('Baseline:', args.baseline_type)
     print('Frame aggregation method:', args.frame_aggregation)
     print('target data usage:', args.use_target)

@@ -356,3 +356,15 @@ def test_train_cli_model_parallel_device_sampler(workspace, monkeypatch):
         "-pf", "1", "-sf", "100", "-ef", "1",
     ])
     assert best >= 0.0
+
+
+def test_main_does_not_leak_prng_impl(workspace, trained):
+    """main() sets jax_default_prng_impl (default rbg) process-global for
+    its own run; it must restore the caller's value on return.  The leak
+    is order-dependent poison: `trained` is module-scoped, so it runs
+    BEFORE conftest's per-test config snapshot — without the in-main
+    restore, every test after the first CLI invocation would silently
+    train with rbg keys (caught as a DAN-trajectory shift in the full
+    suite)."""
+    import jax
+    assert jax.config.jax_default_prng_impl == "threefry2x32"
