@@ -1,0 +1,184 @@
+"""Vmapped ensemble training: N independent runs advance in ONE step.
+
+No reference counterpart (beating, not matching): the reference executes
+sweeps strictly sequentially — edit `script_train_val.sh`, rerun, repeat
+(its published tables are exactly such seed/variant grids).  Here a seed
+ensemble or hyper-parameter sweep is ONE jitted program.
+
+TPU rationale: the flagship step is op-count-bound — ~270 µs of device
+time spread over ~800 ops whose GEMMs sit far below MXU saturation
+(BENCH_NOTES.md "Speed-of-light accounting").  `jax.vmap` adds a member
+axis to every GEMM without adding ops, so N members cost far less than
+N sequential runs (measured A/B in BENCH_NOTES.md "Ensemble training").
+With a mesh, the member axis shards across chips with ZERO collectives:
+members are independent, so unlike data parallelism there is no gradient
+all-reduce — sweep scaling is embarrassingly parallel over ICI.
+
+Supported axes of variation per member:
+  * init/dropout seed — `create_ensemble_state` stacks N independent
+    inits (member k bitwise-equals a solo run seeded with key k);
+  * every schedule scalar — StepScalars stacked `[N, ...]` gives each
+    member its own lr/alpha/beta/gamma/mu.  Schedule scalars were
+    already traced arguments (design invariant: never baked into the
+    trace), so a hyper-parameter sweep is a batched argument, not a
+    recompile;
+  * the data stream — `per_member_data=True` adds a leading member axis
+    to batches/indices; the default shares one stream across members
+    (the classic seed-variance protocol).
+
+Both the host-fed and the HBM-resident device-store paths are covered;
+`make_ensemble_multi_step` scans K steps per dispatch like the
+production `make_multi_train_step`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ta3n_tpu.config import DAConfig, TrainConfig
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from ta3n_tpu.train.step import (StepScalars, TrainState,
+                                 create_train_state, make_train_step)
+
+__all__ = ["ensemble_keys", "create_ensemble_state", "make_ensemble_step",
+           "make_ensemble_multi_step", "stack_scalars"]
+
+
+def ensemble_keys(seeds: Sequence[int]) -> jax.Array:
+    """[N, 2] stacked PRNG keys, identical to each solo run's
+    `jax.random.PRNGKey(seed)` (so ensemble members are bitwise
+    comparable against solo trainings with the same seeds)."""
+    return jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+
+
+def create_ensemble_state(model: VideoModel, seeds: Sequence[int],
+                          batch_source: int, batch_target: int,
+                          train_cfg: TrainConfig) -> TrainState:
+    """TrainState whose every leaf carries a leading member axis [N, ...]
+    — N independent inits (vmapped create_train_state)."""
+    keys = ensemble_keys(seeds)
+    return jax.vmap(lambda k: create_train_state(
+        model, k, batch_source, batch_target, train_cfg))(keys)
+
+
+def stack_scalars(scalars_list: Sequence[StepScalars]) -> StepScalars:
+    """Stack per-member StepScalars into the [N, ...] layout
+    make_ensemble_step consumes (per_member_scalars=True)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *scalars_list)
+
+
+def _axes_and_shardings(gather_on_device: bool, per_member_data: bool,
+                        per_member_scalars: bool):
+    d = 0 if per_member_data else None
+    sc = 0 if per_member_scalars else None
+    if gather_on_device:
+        # (state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt, mask_t,
+        #  scalars, rng) — stores always shared (one HBM copy serves all
+        # members; the per-member gathers read from it)
+        in_axes = (0, None, d, d, d, None, d, d, d, sc, 0)
+    else:
+        # (state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
+        in_axes = (0, d, d, d, d, d, d, sc, 0)
+    return in_axes
+
+
+def make_ensemble_step(model: VideoModel, da: DAConfig,
+                       train_cfg: TrainConfig,
+                       class_weights=None, domain_weights=None, *,
+                       gather_on_device: bool = False,
+                       per_member_data: bool = False,
+                       per_member_scalars: bool = True,
+                       mesh=None, axis_name: str = "data"):
+    """One vmapped optimizer step for every ensemble member.
+
+    Signature = make_train_step's with a leading member axis on: state
+    (always), rng (always), scalars (iff per_member_scalars), batches /
+    index batches (iff per_member_data).  Feature stores are never
+    stacked — one HBM-resident copy serves every member.
+
+    With ``mesh`` the member axis is sharded over ``axis_name`` and
+    everything shared is replicated: each chip trains N/n members with
+    no inter-chip communication at all (compare the DP path, which
+    all-reduces gradients every step)."""
+    base = make_train_step(model, da, train_cfg, class_weights,
+                           domain_weights,
+                           gather_on_device=gather_on_device).raw
+    in_axes = _axes_and_shardings(gather_on_device, per_member_data,
+                                  per_member_scalars)
+    vstep = jax.vmap(base, in_axes=in_axes)
+
+    jit_kwargs = {}
+    if mesh is not None:
+        member = batch_sharding(mesh, axis_name)   # leading axis sharded
+        rep = replicated_sharding(mesh)
+        in_sh = tuple(member if a == 0 else rep for a in in_axes)
+        jit_kwargs = dict(in_shardings=in_sh,
+                          out_shardings=(member, member))
+    step = jax.jit(vstep, donate_argnums=(0,), **jit_kwargs)
+    step.raw = vstep
+    return step
+
+
+def make_ensemble_multi_step(model: VideoModel, da: DAConfig,
+                             train_cfg: TrainConfig,
+                             class_weights=None, domain_weights=None, *,
+                             per_member_data: bool = False,
+                             per_member_scalars: bool = True,
+                             mesh=None, axis_name: str = "data",
+                             unroll: int = 1):
+    """K ensemble steps per dispatch (lax.scan), device-store path.
+
+    Signature: multi(state, store_s, idx_s, ys, mask_s, store_t, idx_t,
+    yt, mask_t, scalars, rng) where per-step args are stacked [K, ...]
+    (with the member axis after K when per-member: idx [K, N, B, T],
+    scalars leaves [K, N]); rng is [N, 2] member keys (step-folded on
+    device like every step builder).  The production sweep mode: one
+    dispatch advances N runs by K steps."""
+    vstep = make_ensemble_step(
+        model, da, train_cfg, class_weights, domain_weights,
+        gather_on_device=True, per_member_data=per_member_data,
+        per_member_scalars=per_member_scalars, mesh=None).raw
+
+    in_axes = _axes_and_shardings(True, per_member_data,
+                                  per_member_scalars)
+
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        member = batch_sharding(mesh, axis_name)
+        kmember = NamedSharding(mesh, P(None, axis_name))  # [K, N, ...]
+        rep = replicated_sharding(mesh)
+
+        def sh(a, scanned: bool):
+            if a == 0:
+                return member if not scanned else kmember
+            return rep
+
+        # state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt, mask_t,
+        # scalars, rng — the per-step args (idx/label/mask/scalars) carry
+        # the extra leading K axis
+        scanned = (False, False, True, True, True, False, True, True,
+                   True, True, False)
+        in_sh = tuple(sh(a, s) for a, s in zip(in_axes, scanned))
+        jit_kwargs = dict(in_shardings=in_sh,
+                          out_shardings=(member, member))
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
+    def multi(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
+              mask_t, scalars: StepScalars, rng):
+        def body(st, per_step):
+            i_s, y_s, m_s, i_t, y_t, m_t, sc = per_step
+            return vstep(st, store_s, i_s, y_s, m_s, store_t, i_t,
+                         y_t, m_t, sc, rng)
+
+        xs = (idx_s, ys, mask_s, idx_t, yt, mask_t, scalars)
+        return jax.lax.scan(body, state, xs, unroll=unroll)
+
+    return multi

@@ -1,0 +1,211 @@
+"""Vmapped ensemble training (train/ensemble.py): N independent
+seed/hyper-parameter members advance in one jitted step — a sweep-scale
+capability the reference runs strictly sequentially (edit
+script_train_val.sh, rerun).  Members must be EXACTLY the solo runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.parallel import make_mesh
+from ta3n_tpu.train import (StepScalars, create_train_state,
+                            make_train_step)
+from ta3n_tpu.train.ensemble import (create_ensemble_state, ensemble_keys,
+                                     make_ensemble_multi_step,
+                                     make_ensemble_step, stack_scalars)
+
+SEG, FDIM = 3, 16
+SEEDS = (0, 1, 2)
+
+
+def _cfgs(dropout=0.25):
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="trn-m", use_attn="TransAttn",
+                      train_segments=SEG, val_segments=SEG, fc_dim=16,
+                      feature_dim=FDIM, dropout_i=dropout,
+                      dropout_v=dropout)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.1, batch_size=(8, 8, 8))
+    return cfg, da, tc
+
+
+def _batch(gen, b, num_class):
+    xs = gen.normal(size=(b, SEG, FDIM)).astype(np.float32)
+    ys = gen.integers(0, num_class, size=b).astype(np.int32)
+    return xs, ys, np.ones(b, np.float32)
+
+
+def _scalars(lr=0.1, alpha=0.0):
+    return StepScalars(jnp.array([0.5, 0.5, 0.5]), jnp.asarray(0.0),
+                       jnp.asarray(alpha), jnp.asarray(0.0),
+                       jnp.asarray(lr))
+
+
+def _leaves_allclose(a, b, atol=1e-5):
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=atol)
+
+
+def test_ensemble_members_equal_solo_runs():
+    """Shared data, per-member seeds (init + dropout streams): after 3
+    steps every member matches its solo run."""
+    cfg, da, tc = _cfgs()
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(0)
+    batches = [( _batch(gen, 8, 4), _batch(gen, 8, 4)) for _ in range(3)]
+    sc = _scalars()
+
+    # solo runs
+    solo_step = make_train_step(model, da, tc)
+    solo_params = []
+    for s in SEEDS:
+        key = jax.random.PRNGKey(s)
+        st = create_train_state(model, key, 8, 8, tc)
+        for (xs, ys, ms), (xt, yt, mt) in batches:
+            st, _ = solo_step(st, xs, ys, ms, xt, yt, mt, sc, key)
+        solo_params.append(st.params)
+
+    # one vmapped ensemble
+    est = create_ensemble_state(model, SEEDS, 8, 8, tc)
+    estep = make_ensemble_step(model, da, tc, per_member_scalars=False)
+    keys = ensemble_keys(SEEDS)
+    for (xs, ys, ms), (xt, yt, mt) in batches:
+        est, metrics = estep(est, xs, ys, ms, xt, yt, mt, sc, keys)
+    assert metrics["loss"].shape == (len(SEEDS),)
+
+    for k in range(len(SEEDS)):
+        member = jax.tree_util.tree_map(lambda l: l[k], est.params)
+        _leaves_allclose(member, solo_params[k])
+
+
+def test_per_member_scalars_are_a_sweep_axis():
+    """lr=0 member keeps its init params while lr>0 members train — a
+    hyper-parameter sweep is a batched argument, not a recompile."""
+    cfg, da, tc = _cfgs(dropout=0.0)
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(1)
+    (xs, ys, ms), (xt, yt, mt) = _batch(gen, 8, 4), _batch(gen, 8, 4)
+
+    seeds = (0, 0, 0)  # identical inits -> only the scalars differ
+    est = create_ensemble_state(model, seeds, 8, 8, tc)
+    init_params = jax.tree_util.tree_map(lambda l: np.asarray(l[0]),
+                                         est.params)
+    sc = stack_scalars([_scalars(lr=0.0), _scalars(lr=0.1),
+                        _scalars(lr=0.3)])
+    estep = make_ensemble_step(model, da, tc)
+    est, _ = estep(est, xs, ys, ms, xt, yt, mt, sc, ensemble_keys(seeds))
+
+    m0 = jax.tree_util.tree_map(lambda l: l[0], est.params)
+    _leaves_allclose(m0, init_params)  # lr=0: bitwise init
+    m1 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda l: np.asarray(l[1]), est.params))
+    m2 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda l: np.asarray(l[2]), est.params))
+    i0 = jax.tree_util.tree_leaves(init_params)
+    assert any(np.abs(a - b).max() > 1e-7 for a, b in zip(m1, i0))
+    assert any(np.abs(a - b).max() > 1e-7 for a, b in zip(m1, m2))
+
+
+def test_ensemble_device_store_per_member_data():
+    """HBM-store path with per-member index batches: one shared store,
+    each member gathers (and trains on) its own rows — matches solo
+    device-store runs."""
+    cfg, da, tc = _cfgs()
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(2)
+    store_s = jnp.asarray(gen.normal(size=(40, FDIM)).astype(np.float32))
+    store_t = jnp.asarray(gen.normal(size=(30, FDIM)).astype(np.float32))
+    n = 2
+    idx_s = gen.integers(0, 40, size=(n, 8, SEG)).astype(np.int32)
+    idx_t = gen.integers(0, 30, size=(n, 8, SEG)).astype(np.int32)
+    ys = gen.integers(0, 4, size=(n, 8)).astype(np.int32)
+    yt = gen.integers(0, 4, size=(n, 8)).astype(np.int32)
+    ms = np.ones((n, 8), np.float32)
+    sc = _scalars()
+
+    solo = make_train_step(model, da, tc, gather_on_device=True)
+    solo_params = []
+    for k in range(n):
+        key = jax.random.PRNGKey(k)
+        st = create_train_state(model, key, 8, 8, tc)
+        st, _ = solo(st, store_s, idx_s[k], ys[k], ms[k],
+                     store_t, idx_t[k], yt[k], ms[k], sc, key)
+        solo_params.append(st.params)
+
+    est = create_ensemble_state(model, range(n), 8, 8, tc)
+    estep = make_ensemble_step(model, da, tc, gather_on_device=True,
+                               per_member_data=True,
+                               per_member_scalars=False)
+    est, _ = estep(est, store_s, idx_s, ys, ms, store_t, idx_t, yt, ms,
+                   sc, ensemble_keys(range(n)))
+    for k in range(n):
+        member = jax.tree_util.tree_map(lambda l: l[k], est.params)
+        _leaves_allclose(member, solo_params[k])
+
+
+def test_ensemble_sharded_over_mesh_matches_unsharded():
+    """8 members sharded over the 8-device mesh (one per chip, zero
+    collectives) == the unsharded vmap; state is actually distributed."""
+    cfg, da, tc = _cfgs(dropout=0.0)
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(3)
+    (xs, ys, ms), (xt, yt, mt) = _batch(gen, 8, 4), _batch(gen, 8, 4)
+    seeds = range(8)
+    sc = stack_scalars([_scalars(lr=0.01 * (k + 1)) for k in seeds])
+    keys = ensemble_keys(seeds)
+
+    est1 = create_ensemble_state(model, seeds, 8, 8, tc)
+    plain = make_ensemble_step(model, da, tc)
+    est1, m1 = plain(est1, xs, ys, ms, xt, yt, mt, sc, keys)
+
+    mesh = make_mesh()
+    est2 = create_ensemble_state(model, seeds, 8, 8, tc)
+    sharded = make_ensemble_step(model, da, tc, mesh=mesh)
+    est2, m2 = sharded(est2, xs, ys, ms, xt, yt, mt, sc, keys)
+
+    leaf = jax.tree_util.tree_leaves(est2.params)[0]
+    assert len(leaf.sharding.device_set) == 8  # member axis distributed
+    _leaves_allclose(est1.params, est2.params)
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-5)
+
+
+def test_ensemble_multi_step_matches_stepwise():
+    """K-steps-per-dispatch scan == K single ensemble dispatches."""
+    cfg, da, tc = _cfgs()
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(4)
+    store_s = jnp.asarray(gen.normal(size=(40, FDIM)).astype(np.float32))
+    store_t = jnp.asarray(gen.normal(size=(30, FDIM)).astype(np.float32))
+    n, k_steps = 2, 3
+    idx_s = gen.integers(0, 40, size=(k_steps, n, 8, SEG)).astype(np.int32)
+    idx_t = gen.integers(0, 30, size=(k_steps, n, 8, SEG)).astype(np.int32)
+    ys = gen.integers(0, 4, size=(k_steps, n, 8)).astype(np.int32)
+    yt = gen.integers(0, 4, size=(k_steps, n, 8)).astype(np.int32)
+    ms = np.ones((k_steps, n, 8), np.float32)
+    sc_steps = [stack_scalars([_scalars(lr=0.1), _scalars(lr=0.2)])
+                for _ in range(k_steps)]
+    sc_k = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sc_steps)
+    keys = ensemble_keys(range(n))
+
+    est1 = create_ensemble_state(model, range(n), 8, 8, tc)
+    estep = make_ensemble_step(model, da, tc, gather_on_device=True,
+                               per_member_data=True)
+    for i in range(k_steps):
+        est1, _ = estep(est1, store_s, idx_s[i], ys[i], ms[i],
+                        store_t, idx_t[i], yt[i], ms[i], sc_steps[i],
+                        keys)
+
+    est2 = create_ensemble_state(model, range(n), 8, 8, tc)
+    multi = make_ensemble_multi_step(model, da, tc, per_member_data=True)
+    est2, metrics = multi(est2, store_s, idx_s, ys, ms, store_t, idx_t,
+                          yt, ms, sc_k, keys)
+    assert metrics["loss"].shape == (k_steps, n)
+    _leaves_allclose(est1.params, est2.params)
+    np.testing.assert_array_equal(np.asarray(est1.step),
+                                  np.asarray(est2.step))
