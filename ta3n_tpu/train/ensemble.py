@@ -43,10 +43,12 @@ from ta3n_tpu.config import DAConfig, TrainConfig
 from ta3n_tpu.models import VideoModel
 from ta3n_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from ta3n_tpu.train.step import (StepScalars, TrainState,
-                                 create_train_state, make_train_step)
+                                 create_train_state, make_eval_step,
+                                 make_train_step)
 
 __all__ = ["ensemble_keys", "create_ensemble_state", "make_ensemble_step",
-           "make_ensemble_multi_step", "stack_scalars"]
+           "make_ensemble_multi_step", "make_ensemble_eval_step",
+           "stack_scalars"]
 
 
 def ensemble_keys(seeds: Sequence[int]) -> jax.Array:
@@ -167,8 +169,10 @@ def make_ensemble_multi_step(model: VideoModel, da: DAConfig,
         scanned = (False, False, True, True, True, False, True, True,
                    True, True, False)
         in_sh = tuple(sh(a, s) for a, s in zip(in_axes, scanned))
+        # state keeps the member axis leading; scanned metrics come out
+        # stacked [K, N, ...] — member axis second
         jit_kwargs = dict(in_shardings=in_sh,
-                          out_shardings=(member, member))
+                          out_shardings=(member, kmember))
 
     @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def multi(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
@@ -182,3 +186,28 @@ def make_ensemble_multi_step(model: VideoModel, da: DAConfig,
         return jax.lax.scan(body, state, xs, unroll=unroll)
 
     return multi
+
+
+def make_ensemble_eval_step(model: VideoModel, class_weights=None, *,
+                            gather_on_device: bool = False,
+                            mesh=None, axis_name: str = "data"):
+    """Vmapped validation: every member evaluates the SAME batch in one
+    dispatch (params/batch_stats carry the member axis, the batch is
+    shared).  Signature = make_eval_step's; returns metrics with a
+    leading member axis.  With ``mesh``, members shard over the mesh
+    like make_ensemble_step."""
+    base = make_eval_step(model, class_weights,
+                          gather_on_device=gather_on_device).raw
+    n_batch = 4 if gather_on_device else 3
+    in_axes = (0, 0) + (None,) * n_batch
+    veval = jax.vmap(base, in_axes=in_axes)
+    jit_kwargs = {}
+    if mesh is not None:
+        member = batch_sharding(mesh, axis_name)
+        rep = replicated_sharding(mesh)
+        jit_kwargs = dict(
+            in_shardings=(member, member) + (rep,) * n_batch,
+            out_shardings=member)
+    step = jax.jit(veval, **jit_kwargs)
+    step.raw = veval
+    return step

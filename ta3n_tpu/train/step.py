@@ -1030,12 +1030,16 @@ def make_eval_step(model: VideoModel,
         }
 
     if not gather_on_device:
-        return jax.jit(_eval, **jit_kwargs)
+        jitted = jax.jit(_eval, **jit_kwargs)
+        jitted.raw = _eval
+        return jitted
 
-    @partial(jax.jit, **jit_kwargs)
-    def eval_step_gather(params, batch_stats, store, idx, y, mask):
+    def _eval_gather(params, batch_stats, store, idx, y, mask):
         x = device_gather(store, idx)
         x = x * mask[:, None, None].astype(x.dtype)
         return _eval(params, batch_stats, x, y, mask)
+
+    eval_step_gather = jax.jit(_eval_gather, **jit_kwargs)
+    eval_step_gather.raw = _eval_gather
 
     return eval_step_gather

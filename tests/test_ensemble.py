@@ -209,3 +209,35 @@ def test_ensemble_multi_step_matches_stepwise():
     _leaves_allclose(est1.params, est2.params)
     np.testing.assert_array_equal(np.asarray(est1.step),
                                   np.asarray(est2.step))
+
+
+def test_ensemble_multi_step_mesh_metrics_sharding():
+    """Regression: scanned metrics come out [K, N, ...] — the member
+    out-sharding must sit on axis 1, not axis 0 (caught as a pjit
+    divisibility error when K != mesh size)."""
+    cfg = ModelConfig(num_class=4, baseline_type="video",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.1, batch_size=(8, 8, 8))
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(5)
+    store_s = jnp.asarray(gen.normal(size=(30, FDIM)).astype(np.float32))
+    store_t = jnp.asarray(gen.normal(size=(30, FDIM)).astype(np.float32))
+    n, k = 8, 2  # k != mesh size on purpose
+    idx = gen.integers(0, 30, size=(k, 8, SEG)).astype(np.int32)
+    ys = gen.integers(0, 4, size=(k, 8)).astype(np.int32)
+    ms = np.ones((k, 8), np.float32)
+    sc1 = stack_scalars([_scalars()] * n)
+    sc = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (k,) + x.shape), sc1)
+
+    mesh = make_mesh()
+    est = create_ensemble_state(model, range(n), 8, 8, tc)
+    multi = make_ensemble_multi_step(model, da, tc, mesh=mesh)
+    est, metrics = multi(est, store_s, idx, ys, ms, store_t, idx, ys,
+                         ms, sc, ensemble_keys(range(n)))
+    assert metrics["loss"].shape == (k, n)
+    assert len(jax.tree_util.tree_leaves(est.params)[0]
+               .sharding.device_set) == 8
