@@ -33,6 +33,7 @@ BT = int(os.environ.get("TA3N_BENCH_BT", 74))
 SEG = int(os.environ.get("TA3N_BENCH_SEG", 5))
 FDIM = int(os.environ.get("TA3N_BENCH_FDIM", 2048))
 NCLASS = int(os.environ.get("TA3N_BENCH_NCLASS", 12))
+FC = int(os.environ.get("TA3N_BENCH_FC", 512))
 K = int(os.environ.get("TA3N_BENCH_K", 16))
 N_LIST = [int(n) for n in os.environ.get("TA3N_ENS_N", "1 2 4 8").split()]
 WARMUP, CALLS, WINDOWS = 2, 10, 3
@@ -59,7 +60,7 @@ def main():
 
     cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
                       frame_aggregation="trn-m", train_segments=SEG,
-                      val_segments=SEG, fc_dim=512, feature_dim=FDIM,
+                      val_segments=SEG, fc_dim=FC, feature_dim=FDIM,
                       use_attn="TransAttn", dropout_i=0.5, dropout_v=0.5)
     da = DAConfig(use_target="uSv", adv_DA="RevGrad",
                   add_loss_DA="attentive_entropy",
