@@ -134,6 +134,9 @@ def main():
         idx_t = np.stack([b.abs_indices for b in bs_t])
         yt = np.stack([b.labels for b in bs_t])
         mt = np.stack([b.mask for b in bs_t])
+        # all-numpy scalar stacking: stack_scalars stacks on the host, so
+        # the [spe, N] schedule block ships with the ONE dispatch below
+        # (no per-step device round-trips)
         sc_steps = []
         for i in range(spe):
             p = progress(gstep + i, 0, total_steps)
@@ -144,8 +147,7 @@ def main():
                 np.float32(dann_lr(lr, p) if args.dann_lr else lr))
                 for (_, lr, alpha) in members]
             sc_steps.append(stack_scalars(per_member))
-        sc = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *sc_steps)
+        sc = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sc_steps)
         state, metrics = multi(state, store_s, idx_s, ys, ms, store_t,
                                idx_t, yt, mt, sc, keys)
         gstep += spe

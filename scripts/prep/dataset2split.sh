@@ -8,9 +8,11 @@ data_root=/dataset/olympic/RGB      # depend on users
 out_root=/dataset/olympic_split     # produces $out_root/{train,val}
 ratio=0.8                           # train fraction (ignored w/ split_file)
 split_file=                         # official train list (one id/line)
+move=N                              # Y: move instead of copy (no 2x disk)
 seed=1
 # ----------------------------------------------------------------------
 
 args=(--ratio "$ratio" --seed "$seed")
 [ -n "$split_file" ] && args+=(--split_file "$split_file")
+[ "$move" = "Y" ] && args+=(--move)
 python -m ta3n_tpu.prep.dataset2split "$data_root" "$out_root" "${args[@]}"

@@ -38,6 +38,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ta3n_tpu.config import DAConfig, TrainConfig
 from ta3n_tpu.models import VideoModel
@@ -52,8 +53,9 @@ __all__ = ["ensemble_keys", "create_ensemble_state", "make_ensemble_step",
 
 
 def ensemble_keys(seeds: Sequence[int]) -> jax.Array:
-    """[N, 2] stacked PRNG keys, identical to each solo run's
-    `jax.random.PRNGKey(seed)` (so ensemble members are bitwise
+    """[N, key_width] stacked PRNG keys (key_width = 2 for threefry,
+    4 for the production-default rbg impl), identical to each solo run's
+    `jax.random.PRNGKey(seed)` (so ensemble members are directly
     comparable against solo trainings with the same seeds)."""
     return jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
 
@@ -70,9 +72,12 @@ def create_ensemble_state(model: VideoModel, seeds: Sequence[int],
 
 def stack_scalars(scalars_list: Sequence[StepScalars]) -> StepScalars:
     """Stack per-member StepScalars into the [N, ...] layout
-    make_ensemble_step consumes (per_member_scalars=True)."""
+    make_ensemble_step consumes (per_member_scalars=True).  Stacks on
+    the HOST (numpy): schedule scalars are computed host-side every
+    step, and keeping them numpy until the dispatch avoids tiny
+    device<->host round-trips in sweep drivers' epoch loops."""
     return jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
         *scalars_list)
 
 
@@ -140,9 +145,9 @@ def make_ensemble_multi_step(model: VideoModel, da: DAConfig,
     Signature: multi(state, store_s, idx_s, ys, mask_s, store_t, idx_t,
     yt, mask_t, scalars, rng) where per-step args are stacked [K, ...]
     (with the member axis after K when per-member: idx [K, N, B, T],
-    scalars leaves [K, N]); rng is [N, 2] member keys (step-folded on
-    device like every step builder).  The production sweep mode: one
-    dispatch advances N runs by K steps."""
+    scalars leaves [K, N]); rng is the [N, key_width] member keys
+    (step-folded on device like every step builder).  The production
+    sweep mode: one dispatch advances N runs by K steps."""
     vstep = make_ensemble_step(
         model, da, train_cfg, class_weights, domain_weights,
         gather_on_device=True, per_member_data=per_member_data,
