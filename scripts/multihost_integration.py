@@ -141,12 +141,18 @@ def run_worker(process_id: int, num_processes: int, port: int,
     # 'model' (intra-process pairs), batch still split per host.
     tp_flat, tp_loss = _run_tp_section(jax)
 
+    # ENSEMBLE across processes: 8 independent sweep members, the member
+    # axis split 4|4 over the two hosts (zero collectives)
+    ens_flat, ens_loss = _run_ensemble_section(jax)
+
     np.savez(out_path, params=flat, loss=last_loss,
              tp_params=tp_flat, tp_loss=tp_loss,
+             ens_params=ens_flat, ens_loss=ens_loss,
              n_devices=len(jax.devices()),
              n_processes=jax.process_count())
     print(f"[worker {process_id}] done: {flat.size} params, "
-          f"loss {last_loss:.6f}, tp_loss {tp_loss:.6f}", flush=True)
+          f"loss {last_loss:.6f}, tp_loss {tp_loss:.6f}, "
+          f"ens_loss {ens_loss:.6f}", flush=True)
 
 
 def _run_tp_section(jax):
@@ -216,6 +222,80 @@ def _run_tp_section(jax):
     return flat, loss
 
 
+def _run_ensemble_section(jax):
+    """8 ensemble members with the member axis sharded over the GLOBAL
+    mesh: each process holds (and effectively trains) 4 members; no
+    inter-process collectives exist in the program (members are
+    independent).  Every process must end with the identical full
+    member-stacked parameter tensor."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+    from ta3n_tpu.models import VideoModel
+    from ta3n_tpu.parallel import make_mesh
+    from ta3n_tpu.parallel.distributed import host_batch_slice
+    from ta3n_tpu.train import StepScalars
+    from ta3n_tpu.train.ensemble import (create_ensemble_state,
+                                         ensemble_keys, make_ensemble_step,
+                                         stack_scalars)
+
+    n_members = 8
+    cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=FC, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(optimizer="SGD", lr=0.05, batch_size=(BS, BT, BS))
+    model = VideoModel(cfg)
+    mesh = make_mesh(jax.devices())
+    rep = NamedSharding(mesh, P())
+
+    def rep_global(x):
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+    def member_global(x):
+        x = np.asarray(x)
+        lo, hi = host_batch_slice(x.shape[0])
+        spec = P(*(["data"] + [None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.ascontiguousarray(x[lo:hi]),
+            x.shape)
+
+    # deterministic member-stacked init: identical on every process,
+    # each contributes its host's member slice
+    est = create_ensemble_state(model, range(n_members), BS, BT, tc)
+    est = jax.tree_util.tree_map(member_global, est)
+    step = make_ensemble_step(model, da, tc, mesh=mesh)
+
+    g = np.random.default_rng(77)
+    xs = g.normal(size=(BS, SEG, FDIM)).astype(np.float32)
+    xt = g.normal(size=(BT, SEG, FDIM)).astype(np.float32)
+    ys = g.integers(0, NCLASS, size=BS).astype(np.int32)
+    yt = g.integers(0, NCLASS, size=BT).astype(np.int32)
+    ones_s = np.ones(BS, np.float32)
+    ones_t = np.ones(BT, np.float32)
+    batch = [rep_global(a) for a in (xs, ys, ones_s, xt, yt, ones_t)]
+    # per-member hyper-params: a real sweep axis across the hosts
+    sc = stack_scalars([StepScalars(
+        np.float32([0.75, 0.75, 0.5]), np.float32(0.0), np.float32(0.0),
+        np.float32(0.003), np.float32(0.01 * (k + 1)))
+        for k in range(n_members)])
+    sc = jax.tree_util.tree_map(member_global, sc)
+    keys = member_global(ensemble_keys(range(n_members)))
+
+    m = None
+    for _ in range(2):
+        est, m = step(est, *batch, sc, keys)
+
+    collect = jax.jit(lambda t: t, out_shardings=rep)
+    full = collect(est.params)
+    flat = np.concatenate([
+        np.asarray(leaf.addressable_data(0)).ravel()
+        for leaf in jax.tree_util.tree_leaves(full)])
+    loss = float(np.asarray(collect(m["loss"]).addressable_data(0)).mean())
+    return flat, loss
+
+
 def _spawn(args_list, device_count: int):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -264,23 +344,32 @@ def orchestrate(json_path: str | None = None, timeout: int = 900) -> dict:
     cross_dev = float(np.max(np.abs(r0["params"] - r1["params"])))
     tp_dev = float(np.max(np.abs(r0["tp_params"] - oracle["tp_params"])))
     tp_cross = float(np.max(np.abs(r0["tp_params"] - r1["tp_params"])))
+    ens_dev = float(np.max(np.abs(r0["ens_params"]
+                                  - oracle["ens_params"])))
+    ens_cross = float(np.max(np.abs(r0["ens_params"] - r1["ens_params"])))
     result = {
         "ok": bool(max_dev < 1e-5 and cross_dev < 1e-6
-                   and tp_dev < 1e-5 and tp_cross < 1e-6),
+                   and tp_dev < 1e-5 and tp_cross < 1e-6
+                   and ens_dev < 1e-5 and ens_cross < 1e-6),
         "what": "2-process jax.distributed CPU mesh (4+4 devices) runs "
                 f"{CALLS}x{K} flagship device-store multi-steps with "
                 "per-host host_batch_slice feeding; parameters vs the "
                 "single-process 8-device oracle.  Plus a TENSOR-PARALLEL "
                 "section: the same global devices reshaped (4 data x 2 "
-                "model), large kernels column-sharded across processes",
+                "model), large kernels column-sharded across processes. "
+                "Plus an ENSEMBLE section: 8 sweep members (per-member "
+                "lr) with the member axis split 4|4 over the hosts",
         "n_params": int(oracle["params"].size),
         "max_param_dev_vs_single_process": max_dev,
         "max_param_dev_between_processes": cross_dev,
         "tp_max_param_dev_vs_single_process": tp_dev,
         "tp_max_param_dev_between_processes": tp_cross,
+        "ens_max_param_dev_vs_single_process": ens_dev,
+        "ens_max_param_dev_between_processes": ens_cross,
         "oracle_loss": float(oracle["loss"]),
         "multihost_loss": float(r0["loss"]),
         "tp_loss": float(r0["tp_loss"]),
+        "ens_mean_loss": float(r0["ens_loss"]),
     }
     if json_path:
         with open(json_path, "w") as f:
