@@ -69,6 +69,11 @@ def main():
                     choices=["full", "dan", "jan", "coral", "source_only"])
     ap.add_argument("--mesh", action="store_true",
                     help="shard the member axis over all devices")
+    ap.add_argument("--save_dir", type=str, default=None,
+                    help="write each member as a solo-shaped checkpoint "
+                         "under DIR/member_XX/ (+ sweep.json manifest) — "
+                         "consumable by --resume, the eval CLI and "
+                         "cli.serve like any training checkpoint")
     args = ap.parse_args()
 
     src, tgt, val = make_rotated_domain_pair(
@@ -171,6 +176,33 @@ def main():
     for k, (seed, lr, alpha) in enumerate(members[:n]):
         print(json.dumps({"seed": seed, "lr": lr, "alpha": alpha,
                           "top1": round(float(top1[k]), 2)}), flush=True)
+
+    if args.save_dir:
+        import os
+
+        from ta3n_tpu.io_utils import save_checkpoint
+        from ta3n_tpu.train.ensemble import extract_member
+
+        manifest = []
+        for k, (seed, lr, alpha) in enumerate(members[:n]):
+            member = extract_member(state, k)
+            d = os.path.join(args.save_dir, f"member_{k:02d}")
+            save_checkpoint(d + "/", {
+                "epoch": args.epochs, "arch": "none",
+                "params": member.params,
+                "batch_stats": member.batch_stats,
+                "opt_state": member.opt_state,
+                "best_prec1": float(top1[k]), "prec1": float(top1[k]),
+                "step": int(member.step),
+            }, is_best=False)
+            manifest.append({"member": k, "seed": seed, "lr": lr,
+                             "alpha": alpha,
+                             "top1": round(float(top1[k]), 2),
+                             "checkpoint": d + "/checkpoint"})
+        with open(os.path.join(args.save_dir, "sweep.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        print(f"# saved {n} member checkpoints -> {args.save_dir}",
+              flush=True)
     print(json.dumps({"members": n, "epochs": args.epochs,
                       "train_wall_s": round(train_s, 1),
                       "da_variant": args.da_variant,

@@ -49,7 +49,7 @@ from ta3n_tpu.train.step import (StepScalars, TrainState,
 
 __all__ = ["ensemble_keys", "create_ensemble_state", "make_ensemble_step",
            "make_ensemble_multi_step", "make_ensemble_eval_step",
-           "stack_scalars"]
+           "stack_scalars", "extract_member"]
 
 
 def ensemble_keys(seeds: Sequence[int]) -> jax.Array:
@@ -79,6 +79,15 @@ def stack_scalars(scalars_list: Sequence[StepScalars]) -> StepScalars:
     return jax.tree_util.tree_map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]),
         *scalars_list)
+
+
+def extract_member(state: TrainState, k: int) -> TrainState:
+    """Member k's solo-shaped TrainState (host numpy leaves, so the
+    result is checkpointable and restorable on any topology — the same
+    invariant io_utils.checkpoint keeps).  The extracted state is a
+    drop-in for a solo Trainer/eval: sweep with the ensemble, pick the
+    winner, checkpoint it, fine-tune or serve it solo."""
+    return jax.tree_util.tree_map(lambda l: np.asarray(l)[k], state)
 
 
 def _axes_and_shardings(gather_on_device: bool, per_member_data: bool,

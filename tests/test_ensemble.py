@@ -241,3 +241,59 @@ def test_ensemble_multi_step_mesh_metrics_sharding():
     assert metrics["loss"].shape == (k, n)
     assert len(jax.tree_util.tree_leaves(est.params)[0]
                .sharding.device_set) == 8
+
+
+def test_extract_member_is_a_solo_state(tmp_path):
+    """Sweep -> pick winner -> go solo: extract_member yields a state
+    that (a) evaluates identically to its vmapped slot, (b) round-trips
+    through save_checkpoint/load_checkpoint, and (c) keeps training
+    through the plain solo step."""
+    from ta3n_tpu.io_utils import save_checkpoint
+    from ta3n_tpu.io_utils.checkpoint import load_checkpoint
+    from ta3n_tpu.train.ensemble import (extract_member,
+                                         make_ensemble_eval_step)
+    from ta3n_tpu.train.step import make_eval_step
+
+    cfg, da, tc = _cfgs(dropout=0.0)
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(6)
+    (xs, ys, ms), (xt, yt, mt) = _batch(gen, 8, 4), _batch(gen, 8, 4)
+    est = create_ensemble_state(model, SEEDS, 8, 8, tc)
+    estep = make_ensemble_step(model, da, tc, per_member_scalars=False)
+    est, _ = estep(est, xs, ys, ms, xt, yt, mt, _scalars(),
+                   ensemble_keys(SEEDS))
+    member = extract_member(est, 1)
+
+    # (a) eval parity with the vmapped slot
+    m_solo = make_eval_step(model)(member.params, member.batch_stats,
+                                   xs, ys, ms)
+    m_ens = make_ensemble_eval_step(model)(est.params, est.batch_stats,
+                                           xs, ys, ms)
+    np.testing.assert_allclose(np.asarray(m_solo["logits"]),
+                               np.asarray(m_ens["logits"])[1],
+                               rtol=1e-5, atol=1e-6)
+
+    # (b) checkpoint round-trip (the ensemble_sweep --save_dir layout)
+    d = str(tmp_path / "member_01") + "/"
+    save_checkpoint(d, {"epoch": 1, "arch": "none",
+                        "params": member.params,
+                        "batch_stats": member.batch_stats,
+                        "opt_state": member.opt_state,
+                        "best_prec1": 0.0, "prec1": 0.0,
+                        "step": int(member.step)})
+    payload = load_checkpoint(d + "checkpoint")
+    for a, b in zip(jax.tree_util.tree_leaves(payload["params"]),
+                    jax.tree_util.tree_leaves(member.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(payload["step"]) == 1
+
+    # (c) the solo train step consumes the extracted state
+    from ta3n_tpu.train.step import TrainState
+    solo_state = TrainState(payload["params"], payload["batch_stats"],
+                            member.opt_state,
+                            jnp.asarray(int(payload["step"]), jnp.int32))
+    solo = make_train_step(model, da, tc)
+    new_state, metrics = solo(solo_state, xs, ys, ms, xt, yt, mt,
+                              _scalars(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 2
