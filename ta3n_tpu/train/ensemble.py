@@ -42,14 +42,13 @@ import numpy as np
 
 from ta3n_tpu.config import DAConfig, TrainConfig
 from ta3n_tpu.models import VideoModel
-from ta3n_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from ta3n_tpu.train.step import (StepScalars, TrainState,
                                  create_train_state, make_eval_step,
                                  make_train_step)
 
 __all__ = ["ensemble_keys", "create_ensemble_state", "make_ensemble_step",
            "make_ensemble_multi_step", "make_ensemble_eval_step",
-           "stack_scalars", "extract_member"]
+           "make_ensemble_mesh", "stack_scalars", "extract_member"]
 
 
 def ensemble_keys(seeds: Sequence[int]) -> jax.Array:
@@ -90,8 +89,25 @@ def extract_member(state: TrainState, k: int) -> TrainState:
     return jax.tree_util.tree_map(lambda l: np.asarray(l)[k], state)
 
 
-def _axes_and_shardings(gather_on_device: bool, per_member_data: bool,
-                        per_member_scalars: bool):
+def make_ensemble_mesh(member_shards: int, devices=None):
+    """(member × data) 2-D mesh: `member_shards`-way sharding of the
+    member axis, with the remaining devices data-parallelizing WITHIN
+    each member (gradient psum over 'data' only — members never
+    communicate).  This is the production shape for flagship-scale
+    sweeps: at the published batch one member already fills the MXU
+    (BENCH_NOTES "Ensemble training"), so extra chips should split each
+    member's batch, not stack more members per chip."""
+    from jax.sharding import Mesh
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % member_shards:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"member_shards={member_shards}")
+    arr = np.array(devices).reshape(member_shards, -1)
+    return Mesh(arr, ("member", "data"))
+
+
+def _axes_and_kinds(gather_on_device: bool, per_member_data: bool,
+                    per_member_scalars: bool):
     d = 0 if per_member_data else None
     sc = 0 if per_member_scalars else None
     if gather_on_device:
@@ -99,10 +115,44 @@ def _axes_and_shardings(gather_on_device: bool, per_member_data: bool,
         #  scalars, rng) — stores always shared (one HBM copy serves all
         # members; the per-member gathers read from it)
         in_axes = (0, None, d, d, d, None, d, d, d, sc, 0)
+        kinds = ("state", "store", "batch", "batch", "batch", "store",
+                 "batch", "batch", "batch", "scalars", "rng")
     else:
         # (state, xs, ys, mask_s, xt, yt, mask_t, scalars, rng)
         in_axes = (0, d, d, d, d, d, d, sc, 0)
-    return in_axes
+        kinds = ("state", "batch", "batch", "batch", "batch", "batch",
+                 "batch", "scalars", "rng")
+    return in_axes, kinds
+
+
+def _sharding_rules(mesh, axis_name: str):
+    """Per-kind shardings for 1-D member-only meshes (legacy: members
+    over `axis_name`, shared batches replicated) and 2-D
+    (member × data) meshes from make_ensemble_mesh (shared batches
+    split over 'data', per-member batches over both axes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    two_d = "member" in mesh.axis_names
+    mem = "member" if two_d else axis_name
+    dat = "data" if two_d else None
+    member = NamedSharding(mesh, P(mem))
+    rep = NamedSharding(mesh, P())
+    batch_shared = NamedSharding(mesh, P(dat)) if dat else rep
+    batch_member = NamedSharding(mesh, P(mem, dat)) if dat else member
+
+    def sh(kind: str, axis, scanned: bool = False):
+        if kind in ("state", "rng"):
+            s = member
+        elif kind == "store":
+            s = rep
+        elif kind == "scalars":
+            s = member if axis == 0 else rep
+        else:  # batch
+            s = batch_member if axis == 0 else batch_shared
+        if scanned and s is not rep:
+            s = NamedSharding(mesh, P(None, *s.spec))
+        return s
+
+    return member, rep, sh
 
 
 def make_ensemble_step(model: VideoModel, da: DAConfig,
@@ -119,22 +169,25 @@ def make_ensemble_step(model: VideoModel, da: DAConfig,
     index batches (iff per_member_data).  Feature stores are never
     stacked — one HBM-resident copy serves every member.
 
-    With ``mesh`` the member axis is sharded over ``axis_name`` and
-    everything shared is replicated: each chip trains N/n members with
-    no inter-chip communication at all (compare the DP path, which
-    all-reduces gradients every step)."""
+    With a 1-D ``mesh`` the member axis is sharded over ``axis_name``
+    and everything shared is replicated: each chip trains N/n members
+    with no inter-chip communication at all (compare the DP path, which
+    all-reduces gradients every step).  With a 2-D mesh from
+    ``make_ensemble_mesh`` the member axis shards over 'member' and the
+    BATCH axis over 'data' — each member is itself data-parallel
+    (gradient psum over 'data' only), the right shape when one member
+    already fills the MXU."""
     base = make_train_step(model, da, train_cfg, class_weights,
                            domain_weights,
                            gather_on_device=gather_on_device).raw
-    in_axes = _axes_and_shardings(gather_on_device, per_member_data,
-                                  per_member_scalars)
+    in_axes, kinds = _axes_and_kinds(gather_on_device, per_member_data,
+                                     per_member_scalars)
     vstep = jax.vmap(base, in_axes=in_axes)
 
     jit_kwargs = {}
     if mesh is not None:
-        member = batch_sharding(mesh, axis_name)   # leading axis sharded
-        rep = replicated_sharding(mesh)
-        in_sh = tuple(member if a == 0 else rep for a in in_axes)
+        member, _, sh = _sharding_rules(mesh, axis_name)
+        in_sh = tuple(sh(k, a) for k, a in zip(kinds, in_axes))
         jit_kwargs = dict(in_shardings=in_sh,
                           out_shardings=(member, member))
     step = jax.jit(vstep, donate_argnums=(0,), **jit_kwargs)
@@ -162,29 +215,22 @@ def make_ensemble_multi_step(model: VideoModel, da: DAConfig,
         gather_on_device=True, per_member_data=per_member_data,
         per_member_scalars=per_member_scalars, mesh=None).raw
 
-    in_axes = _axes_and_shardings(True, per_member_data,
-                                  per_member_scalars)
+    in_axes, kinds = _axes_and_kinds(True, per_member_data,
+                                     per_member_scalars)
 
     jit_kwargs = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        member = batch_sharding(mesh, axis_name)
-        kmember = NamedSharding(mesh, P(None, axis_name))  # [K, N, ...]
-        rep = replicated_sharding(mesh)
-
-        def sh(a, scanned: bool):
-            if a == 0:
-                return member if not scanned else kmember
-            return rep
-
+        member, _, sh = _sharding_rules(mesh, axis_name)
         # state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt, mask_t,
         # scalars, rng — the per-step args (idx/label/mask/scalars) carry
         # the extra leading K axis
         scanned = (False, False, True, True, True, False, True, True,
                    True, True, False)
-        in_sh = tuple(sh(a, s) for a, s in zip(in_axes, scanned))
+        in_sh = tuple(sh(k, a, s)
+                      for k, a, s in zip(kinds, in_axes, scanned))
         # state keeps the member axis leading; scanned metrics come out
         # stacked [K, N, ...] — member axis second
+        kmember = sh("state", 0, scanned=True)
         jit_kwargs = dict(in_shardings=in_sh,
                           out_shardings=(member, kmember))
 
@@ -217,10 +263,11 @@ def make_ensemble_eval_step(model: VideoModel, class_weights=None, *,
     veval = jax.vmap(base, in_axes=in_axes)
     jit_kwargs = {}
     if mesh is not None:
-        member = batch_sharding(mesh, axis_name)
-        rep = replicated_sharding(mesh)
+        member, _, sh = _sharding_rules(mesh, axis_name)
+        kinds = (("store",) if gather_on_device else ()) + ("batch",) * 3
         jit_kwargs = dict(
-            in_shardings=(member, member) + (rep,) * n_batch,
+            in_shardings=(member, member)
+            + tuple(sh(k, None) for k in kinds),
             out_shardings=member)
     step = jax.jit(veval, **jit_kwargs)
     step.raw = veval

@@ -297,3 +297,72 @@ def test_extract_member_is_a_solo_state(tmp_path):
                               _scalars(), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 2
+
+
+def test_ensemble_2d_mesh_matches_unsharded():
+    """(member=2 x data=4) mesh from make_ensemble_mesh: members shard
+    2-way and each member's batch splits 4-way (gradient psum over
+    'data' only) — results match the unsharded vmap."""
+    from ta3n_tpu.train.ensemble import make_ensemble_mesh
+
+    cfg, da, tc = _cfgs(dropout=0.0)
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(7)
+    (xs, ys, ms), (xt, yt, mt) = _batch(gen, 8, 4), _batch(gen, 8, 4)
+    seeds = (0, 1)
+    sc = stack_scalars([_scalars(lr=0.1), _scalars(lr=0.2)])
+    keys = ensemble_keys(seeds)
+
+    est1 = create_ensemble_state(model, seeds, 8, 8, tc)
+    plain = make_ensemble_step(model, da, tc)
+    est1, m1 = plain(est1, xs, ys, ms, xt, yt, mt, sc, keys)
+
+    mesh = make_ensemble_mesh(2)
+    assert mesh.shape == {"member": 2, "data": 4}
+    est2 = create_ensemble_state(model, seeds, 8, 8, tc)
+    sharded = make_ensemble_step(model, da, tc, mesh=mesh)
+    est2, m2 = sharded(est2, xs, ys, ms, xt, yt, mt, sc, keys)
+
+    leaf = jax.tree_util.tree_leaves(est2.params)[0]
+    assert len(leaf.sharding.device_set) >= 2
+    _leaves_allclose(est1.params, est2.params)
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-5)
+
+
+def test_ensemble_2d_mesh_multi_step_per_member_data():
+    """K-step device-store scan on the (member x data) mesh with
+    per-member index batches == the unsharded run."""
+    from ta3n_tpu.train.ensemble import make_ensemble_mesh
+
+    cfg, da, tc = _cfgs(dropout=0.0)
+    model = VideoModel(cfg)
+    gen = np.random.default_rng(8)
+    store_s = jnp.asarray(gen.normal(size=(40, FDIM)).astype(np.float32))
+    store_t = jnp.asarray(gen.normal(size=(30, FDIM)).astype(np.float32))
+    n, k = 2, 2
+    idx_s = gen.integers(0, 40, size=(k, n, 8, SEG)).astype(np.int32)
+    idx_t = gen.integers(0, 30, size=(k, n, 8, SEG)).astype(np.int32)
+    ys = gen.integers(0, 4, size=(k, n, 8)).astype(np.int32)
+    yt = gen.integers(0, 4, size=(k, n, 8)).astype(np.int32)
+    ms = np.ones((k, n, 8), np.float32)
+    sc1 = stack_scalars([_scalars(lr=0.1), _scalars(lr=0.2)])
+    sc = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(x, (k,) + x.shape).copy(), sc1)
+    keys = ensemble_keys(range(n))
+
+    est1 = create_ensemble_state(model, range(n), 8, 8, tc)
+    plain = make_ensemble_multi_step(model, da, tc, per_member_data=True)
+    est1, m1 = plain(est1, store_s, idx_s, ys, ms, store_t, idx_t, yt,
+                     ms, sc, keys)
+
+    mesh = make_ensemble_mesh(2)
+    est2 = create_ensemble_state(model, range(n), 8, 8, tc)
+    sharded = make_ensemble_multi_step(model, da, tc,
+                                       per_member_data=True, mesh=mesh)
+    est2, m2 = sharded(est2, store_s, idx_s, ys, ms, store_t, idx_t, yt,
+                       ms, sc, keys)
+    assert m2["loss"].shape == (k, n)
+    _leaves_allclose(est1.params, est2.params)
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-5)
