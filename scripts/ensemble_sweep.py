@@ -23,21 +23,14 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
-import time
 
 import jax
-import numpy as np
 
 from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
 from ta3n_tpu.data import TSNLoader
 from ta3n_tpu.data.synthetic import make_rotated_domain_pair
-from ta3n_tpu.parallel import make_mesh
-from ta3n_tpu.train import StepScalars
-from ta3n_tpu.train.ensemble import (create_ensemble_state, ensemble_keys,
-                                     make_ensemble_eval_step,
-                                     make_ensemble_multi_step,
-                                     stack_scalars)
-from ta3n_tpu.train.schedules import dann_lr, effective_beta, progress
+from ta3n_tpu.train.ensemble import make_ensemble_mesh
+from ta3n_tpu.train.sweep import run_sweep
 
 SEG, FDIM = 5, 16
 
@@ -100,111 +93,25 @@ def main():
 
     members = list(itertools.product(args.seeds, args.lrs, args.alphas))
     n = len(members)
-    from ta3n_tpu.models import VideoModel
-    model = VideoModel(cfg)
     tc = TrainConfig(lr=args.lrs[0], epochs=args.epochs,
-                     batch_size=(args.batch, args.batch, args.batch))
+                     batch_size=(args.batch, args.batch, args.batch),
+                     beta=tuple(args.beta), gamma=args.gamma)
 
-    mesh = make_mesh() if args.mesh else None
-    if mesh is not None and n % len(jax.devices()) != 0:
-        # member axis must divide the mesh; pad with throwaway members
-        pad = -n % len(jax.devices())
-        members += members[:1] * pad
-        print(f"# padded {n} members to {len(members)} "
-              f"(mesh size {len(jax.devices())})")
-
-    seeds = [m[0] for m in members]
-    state = create_ensemble_state(model, seeds, args.batch, args.batch, tc)
-    keys = ensemble_keys(seeds)
-    multi = make_ensemble_multi_step(model, da, tc, mesh=mesh)
+    mesh = make_ensemble_mesh(len(jax.devices())) if args.mesh else None
     ls = TSNLoader(src, batch_size=args.batch, num_segments=SEG,
                    mode="random", seed=args.data_seed + 1)
     lt = TSNLoader(tgt, batch_size=args.batch, num_segments=SEG,
                    mode="random", seed=args.data_seed + 2)
-    spe = min(len(ls), len(lt))
-    total_steps = spe * args.epochs
-    store_s = jax.device_put(np.ascontiguousarray(src.features))
-    store_t = jax.device_put(np.ascontiguousarray(tgt.features))
-
-    t0 = time.time()
-    gstep = 0
-    for epoch in range(1, args.epochs + 1):
-        # one dispatch per epoch: stack spe steps of shared index batches
-        # + per-member schedule scalars [spe, N]
-        bs_s = list(itertools.islice(ls.index_epoch(), spe))
-        bs_t = list(itertools.islice(lt.index_epoch(), spe))
-        idx_s = np.stack([b.abs_indices for b in bs_s])
-        ys = np.stack([b.labels for b in bs_s])
-        ms = np.stack([b.mask for b in bs_s])
-        idx_t = np.stack([b.abs_indices for b in bs_t])
-        yt = np.stack([b.labels for b in bs_t])
-        mt = np.stack([b.mask for b in bs_t])
-        # all-numpy scalar stacking: stack_scalars stacks on the host, so
-        # the [spe, N] schedule block ships with the ONE dispatch below
-        # (no per-step device round-trips)
-        sc_steps = []
-        for i in range(spe):
-            p = progress(gstep + i, 0, total_steps)
-            beta = np.float32(effective_beta(args.beta, p))
-            per_member = [StepScalars(
-                beta, np.float32(0.0), np.float32(alpha),
-                np.float32(args.gamma),
-                np.float32(dann_lr(lr, p) if args.dann_lr else lr))
-                for (_, lr, alpha) in members]
-            sc_steps.append(stack_scalars(per_member))
-        sc = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sc_steps)
-        state, metrics = multi(state, store_s, idx_s, ys, ms, store_t,
-                               idx_t, yt, mt, sc, keys)
-        gstep += spe
-    train_s = time.time() - t0
-
-    # vmapped validation: every member scores the val split in one
-    # dispatch per batch
-    ev = make_ensemble_eval_step(model, gather_on_device=True, mesh=mesh)
     lv = TSNLoader(val, batch_size=args.batch, num_segments=SEG,
                    mode="test", shuffle=False)
-    store_v = jax.device_put(np.ascontiguousarray(val.features))
-    hits = np.zeros(len(members))
-    count = np.zeros(len(members))
-    for b in lv.index_epoch():
-        m = ev(state.params, state.batch_stats, store_v,
-               b.abs_indices, b.labels, b.mask)
-        hits += np.asarray(m["top1"])
-        count += np.asarray(m["n"])
-    top1 = 100.0 * hits / np.maximum(count, 1)
 
-    for k, (seed, lr, alpha) in enumerate(members[:n]):
-        print(json.dumps({"seed": seed, "lr": lr, "alpha": alpha,
-                          "top1": round(float(top1[k]), 2)}), flush=True)
-
-    if args.save_dir:
-        import os
-
-        from ta3n_tpu.io_utils import save_checkpoint
-        from ta3n_tpu.train.ensemble import extract_member
-
-        manifest = []
-        for k, (seed, lr, alpha) in enumerate(members[:n]):
-            member = extract_member(state, k)
-            d = os.path.join(args.save_dir, f"member_{k:02d}")
-            save_checkpoint(d + "/", {
-                "epoch": args.epochs, "arch": "none",
-                "params": member.params,
-                "batch_stats": member.batch_stats,
-                "opt_state": member.opt_state,
-                "best_prec1": float(top1[k]), "prec1": float(top1[k]),
-                "step": int(member.step),
-            }, is_best=False)
-            manifest.append({"member": k, "seed": seed, "lr": lr,
-                             "alpha": alpha,
-                             "top1": round(float(top1[k]), 2),
-                             "checkpoint": d + "/checkpoint"})
-        with open(os.path.join(args.save_dir, "sweep.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
-        print(f"# saved {n} member checkpoints -> {args.save_dir}",
-              flush=True)
+    out = run_sweep(cfg, da, tc, ls, lt, lv, members,
+                    dann_lr_decay=args.dann_lr, mesh=mesh,
+                    save_dir=args.save_dir)
+    for row in out["results"]:
+        print(json.dumps(row), flush=True)
     print(json.dumps({"members": n, "epochs": args.epochs,
-                      "train_wall_s": round(train_s, 1),
+                      "train_wall_s": out["train_wall_s"],
                       "da_variant": args.da_variant,
                       "note": f"{n} runs trained as one vmapped program "
                               f"({'mesh-sharded' if args.mesh else '1 dev'})"

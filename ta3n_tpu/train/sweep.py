@@ -1,0 +1,163 @@
+"""Sweep runner: train a (seed, lr, alpha) member grid as ONE vmapped
+program (train/ensemble.py) against real TSNLoader streams.
+
+The reference's sweep workflow is "edit script_train_val.sh, rerun"
+(its published tables are such grids); here the whole grid advances in
+one jitted multi-step per epoch with per-member schedule scalars, then
+validates through the vmapped eval step and optionally writes each
+member as a standard solo checkpoint.  Shared by
+scripts/ensemble_sweep.py (synthetic rotation benchmark) and
+cli/sweep.py (real feature stores, full train-CLI flag surface).
+
+Data protocol: one shared stream for every member (the loaders' own
+order) — members differ in init/dropout seed and hyper-parameters, the
+classic controlled-sweep setup.  Measured cost on the TPU:
+BENCH_NOTES.md "Ensemble training".
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ta3n_tpu.train.ensemble import (create_ensemble_state, ensemble_keys,
+                                     extract_member,
+                                     make_ensemble_eval_step,
+                                     make_ensemble_multi_step,
+                                     stack_scalars)
+from ta3n_tpu.train.schedules import dann_lr, effective_beta, progress
+from ta3n_tpu.train.step import StepScalars
+
+__all__ = ["run_sweep", "pad_members"]
+
+
+def pad_members(members: Sequence[Tuple], member_shards: int,
+                log=print) -> list:
+    """Pad the member list to a multiple of the mesh's member axis
+    (duplicates of member 0 — their results are dropped)."""
+    members = list(members)
+    if member_shards > 1 and len(members) % member_shards:
+        pad = -len(members) % member_shards
+        log(f"# padded {len(members)} members to {len(members) + pad} "
+            f"(member axis {member_shards})")
+        members += members[:1] * pad
+    return members
+
+
+def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
+              val_loader, members: Sequence[Tuple[int, float, float]], *,
+              dann_lr_decay: bool = False, mesh=None,
+              class_weights=None, domain_weights=None,
+              save_dir: Optional[str] = None, arch: str = "none",
+              log=print) -> dict:
+    """Train every (seed, lr, alpha) member and return
+    {"results": [{member, seed, lr, alpha, top1, checkpoint?}, ...],
+    "train_wall_s": float}.
+
+    train_cfg supplies epochs / batch sizes / beta / gamma / mu; lr and
+    alpha come per member.  Negative beta entries follow the DANN ramp
+    exactly like the Trainer (schedules.effective_beta)."""
+    from ta3n_tpu.models import VideoModel
+
+    n = len(members)
+    member_shards = 1
+    if mesh is not None:
+        member_shards = (mesh.shape["member"] if "member" in mesh.axis_names
+                         else mesh.size)
+        data_par = mesh.shape.get("data", 1) if "member" in mesh.axis_names \
+            else 1
+        for b in train_cfg.batch_size[:2]:
+            if b % data_par:
+                raise ValueError(
+                    f"batch size {b} not divisible by the mesh's data "
+                    f"axis ({data_par})")
+    members = pad_members(members, member_shards, log=log)
+
+    model = VideoModel(model_cfg)
+    bs, bt = train_cfg.batch_size[0], train_cfg.batch_size[1]
+    seeds = [m[0] for m in members]
+    state = create_ensemble_state(model, seeds, bs, bt, train_cfg)
+    keys = ensemble_keys(seeds)
+    multi = make_ensemble_multi_step(model, da_cfg, train_cfg,
+                                     class_weights, domain_weights,
+                                     mesh=mesh)
+    spe = min(len(source_loader), len(target_loader))
+    total_steps = spe * train_cfg.epochs
+    store_s = jax.device_put(
+        np.ascontiguousarray(source_loader.store.features))
+    store_t = jax.device_put(
+        np.ascontiguousarray(target_loader.store.features))
+
+    t0 = time.time()
+    gstep = 0
+    for _epoch in range(1, train_cfg.epochs + 1):
+        # one dispatch per epoch: spe stacked index batches (shared
+        # stream) + per-member schedule scalars [spe, N] — all numpy, so
+        # the schedule block ships with the one dispatch
+        b_s = list(itertools.islice(source_loader.index_epoch(), spe))
+        b_t = list(itertools.islice(target_loader.index_epoch(), spe))
+        idx_s = np.stack([b.abs_indices for b in b_s])
+        ys = np.stack([b.labels for b in b_s])
+        ms = np.stack([b.mask for b in b_s])
+        idx_t = np.stack([b.abs_indices for b in b_t])
+        yt = np.stack([b.labels for b in b_t])
+        mt = np.stack([b.mask for b in b_t])
+        sc_steps = []
+        for i in range(spe):
+            p = progress(gstep + i, 0, total_steps)
+            beta = np.float32(effective_beta(train_cfg.beta, p))
+            per_member = [StepScalars(
+                beta, np.float32(train_cfg.mu), np.float32(alpha),
+                np.float32(train_cfg.gamma),
+                np.float32(dann_lr(lr, p) if dann_lr_decay else lr))
+                for (_, lr, alpha) in members]
+            sc_steps.append(stack_scalars(per_member))
+        sc = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sc_steps)
+        state, _metrics = multi(state, store_s, idx_s, ys, ms, store_t,
+                                idx_t, yt, mt, sc, keys)
+        gstep += spe
+    train_s = time.time() - t0
+
+    # vmapped validation: every member scores the val split together
+    ev = make_ensemble_eval_step(model, class_weights,
+                                 gather_on_device=True, mesh=mesh)
+    store_v = jax.device_put(
+        np.ascontiguousarray(val_loader.store.features))
+    hits = np.zeros(len(members))
+    count = np.zeros(len(members))
+    for b in val_loader.index_epoch():
+        m = ev(state.params, state.batch_stats, store_v,
+               b.abs_indices, b.labels, b.mask)
+        hits += np.asarray(m["top1"])
+        count += np.asarray(m["n"])
+    top1 = 100.0 * hits / np.maximum(count, 1)
+
+    results = []
+    for k, (seed, lr, alpha) in enumerate(members[:n]):
+        row = {"member": k, "seed": seed, "lr": lr, "alpha": alpha,
+               "top1": round(float(top1[k]), 2)}
+        if save_dir:
+            from ta3n_tpu.io_utils import save_checkpoint
+            member = extract_member(state, k)
+            d = os.path.join(save_dir, f"member_{k:02d}")
+            save_checkpoint(d + "/", {
+                "epoch": train_cfg.epochs, "arch": arch,
+                "params": member.params,
+                "batch_stats": member.batch_stats,
+                "opt_state": member.opt_state,
+                "best_prec1": float(top1[k]), "prec1": float(top1[k]),
+                "step": int(member.step),
+            }, is_best=False)
+            row["checkpoint"] = d + "/checkpoint"
+        results.append(row)
+    if save_dir:
+        with open(os.path.join(save_dir, "sweep.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        log(f"# saved {n} member checkpoints -> {save_dir}")
+    return {"results": results, "train_wall_s": round(train_s, 1)}

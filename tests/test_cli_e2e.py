@@ -368,3 +368,45 @@ def test_main_does_not_leak_prng_impl(workspace, trained):
     suite)."""
     import jax
     assert jax.config.jax_default_prng_impl == "threefry2x32"
+
+
+def test_sweep_cli(workspace):
+    """cli.sweep: a (seed x lr) grid trains as one vmapped program on
+    the 8-device mesh; member checkpoints are standard checkpoints the
+    eval CLI consumes, reproducing the sweep's reported top-1."""
+    from ta3n_tpu.cli.sweep import main as sweep_main
+    from ta3n_tpu.cli.test_models import main as eval_main
+    out_dir = workspace / "sweep_out"
+    out = sweep_main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "src" / "list.txt"),
+        str(workspace / "tgt" / "list.txt"),
+        str(workspace / "val" / "list.txt"),
+        "--exp_path", str(workspace / "sweep_exp") + "/",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--num_segments", "3", "--val_segments", "3",
+        "--add_fc", "1", "--fc_dim", "16", "--feature_dim", "16",
+        "--use_target", "uSv", "--adv_DA", "RevGrad",
+        "--use_attn", "TransAttn",
+        "--lr", "0.1", "--epochs", "1", "-b", "8", "6", "8",
+        "--sweep_seeds", "0", "1", "--sweep_lrs", "0.1", "0.0",
+        "--sweep_dir", str(out_dir), "--sweep_mesh", "4",
+    ])
+    rows = out["results"]
+    assert len(rows) == 4  # 2 seeds x 2 lrs
+    assert {(r["seed"], r["lr"]) for r in rows} == \
+        {(0, 0.1), (0, 0.0), (1, 0.1), (1, 0.0)}
+    assert os.path.isdir(out_dir / "member_00" / "checkpoint")
+    assert os.path.isfile(out_dir / "sweep.json")
+
+    # the eval CLI consumes a member checkpoint and reproduces its top-1
+    line = eval_main([
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(out_dir / "member_00" / "checkpoint"),
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn", "--bS", "8", "--top", "1",
+    ])
+    assert f"Pred@1 {rows[0]['top1']:.2f}%" in line
