@@ -119,9 +119,13 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                 for (_, lr, alpha) in members]
             sc_steps.append(stack_scalars(per_member))
         sc = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sc_steps)
-        state, _metrics = multi(state, store_s, idx_s, ys, ms, store_t,
-                                idx_t, yt, mt, sc, keys)
+        state, metrics = multi(state, store_s, idx_s, ys, ms, store_t,
+                               idx_t, yt, mt, sc, keys)
         gstep += spe
+    # one fetch for the whole sweep: last epoch's [spe, N] losses — a
+    # diverged member is reported per row instead of silently scoring
+    # garbage (sweeps at aggressive hyper-parameters diverge by design)
+    final_loss = np.asarray(metrics["loss"])[-1]
     train_s = time.time() - t0
 
     # vmapped validation: every member scores the val split together
@@ -141,7 +145,12 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     results = []
     for k, (seed, lr, alpha) in enumerate(members[:n]):
         row = {"member": k, "seed": seed, "lr": lr, "alpha": alpha,
-               "top1": round(float(top1[k]), 2)}
+               "top1": round(float(top1[k]), 2),
+               "final_loss": round(float(final_loss[k]), 4)}
+        if not np.isfinite(final_loss[k]):
+            row["diverged"] = True
+            log(f"# member {k} (seed {seed}, lr {lr}, alpha {alpha}) "
+                f"diverged: final loss {final_loss[k]}")
         if save_dir:
             from ta3n_tpu.io_utils import save_checkpoint
             member = extract_member(state, k)
