@@ -68,9 +68,17 @@ def main(argv=None):
             fc_dim=args.fc_dim, use_attn=args.use_attn,
             use_attn_frame=args.use_attn_frame, use_bn=args.use_bn,
             share_params=args.share_params)
-        predictor = Predictor.from_checkpoint(args.weights, cfg,
-                                              batch_size=args.batch_size,
-                                              top_k=args.top_k, mesh=mesh)
+        if Predictor.is_sweep(args.weights):
+            # WEIGHTS is a sweep output dir: serve ALL members as a
+            # deep ensemble (member-averaged softmax, one vmapped pass)
+            predictor = Predictor.from_sweep(args.weights, cfg,
+                                             batch_size=args.batch_size,
+                                             top_k=args.top_k, mesh=mesh)
+            print(f"ensemble serving: {predictor.n_members} members")
+        else:
+            predictor = Predictor.from_checkpoint(
+                args.weights, cfg, batch_size=args.batch_size,
+                top_k=args.top_k, mesh=mesh)
     if args.export:
         out = predictor.export(args.export,
                                platforms=tuple(args.export_platforms))

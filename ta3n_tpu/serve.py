@@ -52,12 +52,16 @@ class Predictor:
     """
 
     def __init__(self, model_cfg: ModelConfig, params, batch_stats=None,
-                 batch_size: int = 64, top_k: int = 5, mesh=None):
+                 batch_size: int = 64, top_k: int = 5, mesh=None,
+                 n_members: int = 0):
         self.cfg = model_cfg
         self.model = VideoModel(model_cfg)
         self.params = params
         self.batch_stats = batch_stats or {}
         self.mesh = mesh
+        # n_members > 0: params/batch_stats leaves carry a leading member
+        # axis — ensemble inference (softmax averaged over members)
+        self.n_members = n_members
         if mesh is not None:
             from ta3n_tpu.parallel.mesh import pad_to_multiple
             batch_size = pad_to_multiple(batch_size, mesh.devices.size)
@@ -72,16 +76,27 @@ class Predictor:
         return jax.jit(fn, in_shardings=batch_sharding(self.mesh))
 
     def _make_predict_fn(self):
-        def _predict(x):
-            variables = {"params": self.params}
+        def _probs(params, batch_stats, x):
+            variables = {"params": params}
             if self.batch_stats:
-                variables["batch_stats"] = self.batch_stats
+                variables["batch_stats"] = batch_stats
             _, out = self.model.apply(variables, x, x, jnp.zeros(3),
                                       jnp.asarray(0.0), False, False)
             logits = out.out
             if logits.ndim == 3:
                 logits = jnp.mean(logits, axis=1)
-            probs = jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(logits, axis=-1)
+
+        def _predict(x):
+            if self.n_members:
+                # ensemble inference: every member scores the batch in
+                # one vmapped pass; probabilities are averaged (softmax
+                # ensembling — the standard deep-ensemble reduction)
+                probs = jax.vmap(_probs, in_axes=(0, 0, None))(
+                    self.params, self.batch_stats, x)
+                probs = jnp.mean(probs, axis=0)
+            else:
+                probs = _probs(self.params, self.batch_stats, x)
             top_p, top_i = jax.lax.top_k(probs, self.top_k)
             return probs, top_p, top_i
 
@@ -160,6 +175,47 @@ class Predictor:
         self.top_k = int(meta["top_k"])
         self._predict = self._jit(exported.call)
         return self
+
+    @staticmethod
+    def is_sweep(path: str) -> bool:
+        return os.path.isdir(path) and (
+            os.path.isfile(os.path.join(path, "sweep.json"))
+            or bool(__import__("glob").glob(
+                os.path.join(path, "member_*", "checkpoint"))))
+
+    @classmethod
+    def from_sweep(cls, sweep_dir: str, model_cfg: ModelConfig,
+                   members=None, **kw) -> "Predictor":
+        """Ensemble predictor over a sweep output (cli.sweep
+        --sweep_dir / ensemble_sweep --save_dir): loads every
+        member_XX/checkpoint (or just `members`, a sequence of member
+        indices), stacks the parameter trees on a leading member axis,
+        and serves the member-averaged softmax in one vmapped pass —
+        deep-ensemble inference the reference has no analogue for."""
+        import glob as _glob
+
+        from ta3n_tpu.io_utils.checkpoint import load_checkpoint
+
+        if members is not None:
+            dirs = [os.path.join(sweep_dir, f"member_{int(k):02d}",
+                                 "checkpoint") for k in members]
+        else:
+            dirs = sorted(_glob.glob(
+                os.path.join(sweep_dir, "member_*", "checkpoint")))
+        if not dirs:
+            raise FileNotFoundError(
+                f"no member_*/checkpoint under {sweep_dir}")
+        payloads = [load_checkpoint(d) for d in dirs]
+
+        def stack(trees):
+            return jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+
+        params = stack([p["params"] for p in payloads])
+        bs_list = [p.get("batch_stats") or {} for p in payloads]
+        batch_stats = stack(bs_list) if any(bs_list) else {}
+        return cls(model_cfg, params, batch_stats,
+                   n_members=len(dirs), **kw)
 
     @classmethod
     def from_checkpoint(cls, weights: str, model_cfg: ModelConfig,

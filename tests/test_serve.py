@@ -95,3 +95,56 @@ def test_mesh_predictor_matches_single_device(predictor):
     p1, tp1, ti1 = sharded(x)
     np.testing.assert_allclose(p0, p1, rtol=2e-5, atol=1e-6)
     np.testing.assert_array_equal(ti0, ti1)
+
+
+def test_ensemble_predictor_from_sweep(tmp_path):
+    """Predictor.from_sweep serves a sweep output dir as a deep
+    ensemble: averaged softmax == mean of the solo predictors' probs."""
+    from ta3n_tpu.io_utils import save_checkpoint
+
+    states = [create_train_state(VideoModel(CFG), jax.random.PRNGKey(s),
+                                 4, 4, TrainConfig(batch_size=(4, 4, 4)))
+              for s in (0, 1)]
+    for k, st in enumerate(states):
+        save_checkpoint(str(tmp_path / f"member_{k:02d}") + "/", {
+            "epoch": 1, "arch": "none", "params": st.params,
+            "batch_stats": st.batch_stats, "opt_state": st.opt_state,
+            "best_prec1": 0.0, "prec1": 0.0, "step": 0})
+    assert Predictor.is_sweep(str(tmp_path))
+    assert not Predictor.is_sweep(str(tmp_path / "member_00"))
+
+    ens = Predictor.from_sweep(str(tmp_path), CFG, batch_size=4,
+                               top_k=3)
+    assert ens.n_members == 2
+    x = np.random.default_rng(2).normal(size=(4, 3, 16)).astype(np.float32)
+    probs, tp, ti = ens(x)
+    solos = [Predictor(CFG, st.params, st.batch_stats, batch_size=4,
+                       top_k=3)(x)[0] for st in states]
+    np.testing.assert_allclose(probs, np.mean(solos, axis=0), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
+
+    # member subset selection
+    one = Predictor.from_sweep(str(tmp_path), CFG, members=[1],
+                               batch_size=4, top_k=3)
+    np.testing.assert_allclose(one(x)[0], solos[1], rtol=1e-5, atol=1e-6)
+
+
+def test_ensemble_predictor_export_roundtrip(tmp_path):
+    """An ensemble predictor exports to StableHLO (member weights baked
+    in) and serves identically from the artifact."""
+    from ta3n_tpu.io_utils import save_checkpoint
+
+    for k, s in enumerate((3, 4)):
+        st = create_train_state(VideoModel(CFG), jax.random.PRNGKey(s),
+                                4, 4, TrainConfig(batch_size=(4, 4, 4)))
+        save_checkpoint(str(tmp_path / f"member_{k:02d}") + "/", {
+            "epoch": 1, "arch": "none", "params": st.params,
+            "batch_stats": st.batch_stats, "opt_state": st.opt_state,
+            "best_prec1": 0.0, "prec1": 0.0, "step": 0})
+    ens = Predictor.from_sweep(str(tmp_path), CFG, batch_size=4, top_k=3)
+    out = ens.export(str(tmp_path / "artifact"), platforms=("cpu",))
+    served = Predictor.from_exported(out)
+    x = np.random.default_rng(3).normal(size=(4, 3, 16)).astype(np.float32)
+    np.testing.assert_allclose(served(x)[0], ens(x)[0], rtol=1e-5,
+                               atol=1e-6)
