@@ -112,6 +112,7 @@ def main():
         print(json.dumps(row), flush=True)
     print(json.dumps({"members": n, "epochs": args.epochs,
                       "train_wall_s": out["train_wall_s"],
+                      "ensemble_top1": out["ensemble_top1"],
                       "da_variant": args.da_variant,
                       "note": f"{n} runs trained as one vmapped program "
                               f"({'mesh-sharded' if args.mesh else '1 dev'})"

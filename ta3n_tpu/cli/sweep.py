@@ -96,6 +96,7 @@ def _run(args):
     print(json.dumps({"members": len(members),
                       "epochs": train_cfg.epochs,
                       "train_wall_s": out["train_wall_s"],
+                      "ensemble_top1": out["ensemble_top1"],
                       "devices": len(jax.devices())}), flush=True)
     return out
 

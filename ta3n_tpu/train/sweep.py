@@ -135,12 +135,28 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         np.ascontiguousarray(val_loader.store.features))
     hits = np.zeros(len(members))
     count = np.zeros(len(members))
+    ens_hits, ens_count = 0.0, 0.0
     for b in val_loader.index_epoch():
         m = ev(state.params, state.batch_stats, store_v,
                b.abs_indices, b.labels, b.mask)
         hits += np.asarray(m["top1"])
         count += np.asarray(m["n"])
+        # deep-ensemble score for free: the vmapped eval already holds
+        # every member's logits — average the softmax over the REAL
+        # members (pads excluded) and count argmax hits.  (frame/tsn
+        # baselines expand logits per frame; skip the ensemble score
+        # there rather than mis-align rows)
+        logits = np.asarray(m["logits"][:n], np.float64)
+        if logits.shape[1] == len(b.labels):
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            pred = probs.mean(axis=0).argmax(-1)
+            mask = np.asarray(b.mask)
+            ens_hits += float(((pred == b.labels) * mask).sum())
+            ens_count += float(mask.sum())
     top1 = 100.0 * hits / np.maximum(count, 1)
+    ensemble_top1 = (round(100.0 * ens_hits / ens_count, 2)
+                     if ens_count else None)
 
     results = []
     for k, (seed, lr, alpha) in enumerate(members[:n]):
@@ -169,4 +185,5 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         with open(os.path.join(save_dir, "sweep.json"), "w") as f:
             json.dump(results, f, indent=1)
         log(f"# saved {n} member checkpoints -> {save_dir}")
-    return {"results": results, "train_wall_s": round(train_s, 1)}
+    return {"results": results, "train_wall_s": round(train_s, 1),
+            "ensemble_top1": ensemble_top1}
