@@ -37,6 +37,26 @@ from ta3n_tpu.train.step import StepScalars
 __all__ = ["run_sweep", "pad_members"]
 
 
+def _save_members(state, members, save_dir, arch, epoch, top1):
+    """Write each member as a standard solo checkpoint
+    (member_XX/checkpoint); returns the checkpoint paths."""
+    from ta3n_tpu.io_utils import save_checkpoint
+    paths = []
+    for k, (seed, lr, alpha) in enumerate(members):
+        member = extract_member(state, k)
+        d = os.path.join(save_dir, f"member_{k:02d}")
+        save_checkpoint(d + "/", {
+            "epoch": epoch, "arch": arch,
+            "params": member.params,
+            "batch_stats": member.batch_stats,
+            "opt_state": member.opt_state,
+            "best_prec1": float(top1[k]), "prec1": float(top1[k]),
+            "step": int(member.step),
+        }, is_best=False)
+        paths.append(d + "/checkpoint")
+    return paths
+
+
 def pad_members(members: Sequence[Tuple], member_shards: int,
                 log=print) -> list:
     """Pad the member list to a multiple of the mesh's member axis
@@ -96,32 +116,53 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
 
     t0 = time.time()
     gstep = 0
-    for _epoch in range(1, train_cfg.epochs + 1):
-        # one dispatch per epoch: spe stacked index batches (shared
-        # stream) + per-member schedule scalars [spe, N] — all numpy, so
-        # the schedule block ships with the one dispatch
-        b_s = list(itertools.islice(source_loader.index_epoch(), spe))
-        b_t = list(itertools.islice(target_loader.index_epoch(), spe))
-        idx_s = np.stack([b.abs_indices for b in b_s])
-        ys = np.stack([b.labels for b in b_s])
-        ms = np.stack([b.mask for b in b_s])
-        idx_t = np.stack([b.abs_indices for b in b_t])
-        yt = np.stack([b.labels for b in b_t])
-        mt = np.stack([b.mask for b in b_t])
-        sc_steps = []
-        for i in range(spe):
-            p = progress(gstep + i, 0, total_steps)
-            beta = np.float32(effective_beta(train_cfg.beta, p))
-            per_member = [StepScalars(
-                beta, np.float32(train_cfg.mu), np.float32(alpha),
-                np.float32(train_cfg.gamma),
-                np.float32(dann_lr(lr, p) if dann_lr_decay else lr))
-                for (_, lr, alpha) in members]
-            sc_steps.append(stack_scalars(per_member))
-        sc = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sc_steps)
-        state, metrics = multi(state, store_s, idx_s, ys, ms, store_t,
-                               idx_t, yt, mt, sc, keys)
-        gstep += spe
+    epochs_done = 0
+    try:
+        from ta3n_tpu.train.loop import _sigterm_as_interrupt
+        with _sigterm_as_interrupt():
+            for _epoch in range(1, train_cfg.epochs + 1):
+                # one dispatch per epoch: spe stacked index batches
+                # (shared stream) + per-member schedule scalars [spe, N]
+                # — all numpy, so the schedule block ships with the one
+                # dispatch
+                b_s = list(itertools.islice(source_loader.index_epoch(),
+                                            spe))
+                b_t = list(itertools.islice(target_loader.index_epoch(),
+                                            spe))
+                idx_s = np.stack([b.abs_indices for b in b_s])
+                ys = np.stack([b.labels for b in b_s])
+                ms = np.stack([b.mask for b in b_s])
+                idx_t = np.stack([b.abs_indices for b in b_t])
+                yt = np.stack([b.labels for b in b_t])
+                mt = np.stack([b.mask for b in b_t])
+                sc_steps = []
+                for i in range(spe):
+                    p = progress(gstep + i, 0, total_steps)
+                    beta = np.float32(effective_beta(train_cfg.beta, p))
+                    per_member = [StepScalars(
+                        beta, np.float32(train_cfg.mu),
+                        np.float32(alpha), np.float32(train_cfg.gamma),
+                        np.float32(dann_lr(lr, p) if dann_lr_decay
+                                   else lr))
+                        for (_, lr, alpha) in members]
+                    sc_steps.append(stack_scalars(per_member))
+                sc = jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                            *sc_steps)
+                state, metrics = multi(state, store_s, idx_s, ys, ms,
+                                       store_t, idx_t, yt, mt, sc, keys)
+                gstep += spe
+                epochs_done = _epoch
+    except BaseException:
+        # preemption/crash mid-sweep: save every member's resumable
+        # state before re-raising (the Trainer's emergency-checkpoint
+        # behavior, applied to sweeps; SIGTERM is routed here by
+        # loop._sigterm_as_interrupt in the CLIs)
+        if save_dir and epochs_done >= 1:
+            _save_members(state, members[:n], save_dir, arch,
+                          epochs_done, np.full(len(members), -1.0))
+            log(f"emergency sweep checkpoints saved at epoch "
+                f"{epochs_done} -> {save_dir}")
+        raise
     # one fetch for the whole sweep: last epoch's [spe, N] losses — a
     # diverged member is reported per row instead of silently scoring
     # garbage (sweeps at aggressive hyper-parameters diverge by design)
@@ -158,6 +199,9 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     ensemble_top1 = (round(100.0 * ens_hits / ens_count, 2)
                      if ens_count else None)
 
+    paths = (_save_members(state, members[:n], save_dir, arch,
+                           train_cfg.epochs, top1)
+             if save_dir else None)
     results = []
     for k, (seed, lr, alpha) in enumerate(members[:n]):
         row = {"member": k, "seed": seed, "lr": lr, "alpha": alpha,
@@ -167,19 +211,8 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
             row["diverged"] = True
             log(f"# member {k} (seed {seed}, lr {lr}, alpha {alpha}) "
                 f"diverged: final loss {final_loss[k]}")
-        if save_dir:
-            from ta3n_tpu.io_utils import save_checkpoint
-            member = extract_member(state, k)
-            d = os.path.join(save_dir, f"member_{k:02d}")
-            save_checkpoint(d + "/", {
-                "epoch": train_cfg.epochs, "arch": arch,
-                "params": member.params,
-                "batch_stats": member.batch_stats,
-                "opt_state": member.opt_state,
-                "best_prec1": float(top1[k]), "prec1": float(top1[k]),
-                "step": int(member.step),
-            }, is_best=False)
-            row["checkpoint"] = d + "/checkpoint"
+        if paths:
+            row["checkpoint"] = paths[k]
         results.append(row)
     if save_dir:
         with open(os.path.join(save_dir, "sweep.json"), "w") as f:

@@ -1,0 +1,84 @@
+"""run_sweep (train/sweep.py): divergence reporting and the
+emergency-checkpoint path on preemption — the Trainer's failure
+handling (SURVEY §5.3) applied to sweeps."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.data import TSNLoader
+from ta3n_tpu.data.synthetic import make_domain_pair
+from ta3n_tpu.io_utils.checkpoint import load_checkpoint
+from ta3n_tpu.train.sweep import run_sweep
+
+SEG, FDIM = 3, 16
+
+
+def _setup():
+    src, tgt, val = make_domain_pair(num_source=16, num_target=16,
+                                     num_val=8, num_class=3,
+                                     feature_dim=FDIM, seed=0)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.1, epochs=4, batch_size=(8, 8, 8))
+    ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test",
+                   seed=1)
+    lt = TSNLoader(tgt, batch_size=8, num_segments=SEG, mode="test",
+                   seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                   shuffle=False)
+    return cfg, da, tc, ls, lt, lv
+
+
+class _KillingLoader:
+    """Proxy that SIGTERMs the process at the start of epoch N."""
+
+    def __init__(self, inner, kill_on_call: int):
+        self._inner = inner
+        self._calls = 0
+        self._kill_on = kill_on_call
+
+    def index_epoch(self):
+        self._calls += 1
+        if self._calls == self._kill_on:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return self._inner.index_epoch()
+
+    def __len__(self):
+        return len(self._inner)
+
+    @property
+    def store(self):
+        return self._inner.store
+
+
+def test_sweep_results_and_manifest(tmp_path):
+    cfg, da, tc, ls, lt, lv = _setup()
+    out = run_sweep(cfg, da, tc, ls, lt, lv,
+                    [(0, 0.1, 0.0), (1, 0.05, 0.0)],
+                    save_dir=str(tmp_path))
+    assert len(out["results"]) == 2
+    assert out["ensemble_top1"] is not None
+    for row in out["results"]:
+        assert "diverged" not in row
+        assert np.isfinite(row["final_loss"])
+        payload = load_checkpoint(row["checkpoint"])
+        assert int(payload["epoch"]) == tc.epochs
+
+
+def test_sweep_preemption_saves_emergency_checkpoints(tmp_path):
+    cfg, da, tc, ls, lt, lv = _setup()
+    killing = _KillingLoader(ls, kill_on_call=2)  # start of epoch 2
+    with pytest.raises(KeyboardInterrupt, match="SIGTERM"):
+        run_sweep(cfg, da, tc, killing, lt, lv,
+                  [(0, 0.1, 0.0), (1, 0.05, 0.0)],
+                  save_dir=str(tmp_path))
+    payload = load_checkpoint(str(tmp_path / "member_01" / "checkpoint"))
+    assert int(payload["epoch"]) == 1   # one epoch completed
+    assert float(payload["prec1"]) == -1.0  # unvalidated emergency save
