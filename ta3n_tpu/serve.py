@@ -135,6 +135,7 @@ class Predictor:
             "top_k": self.top_k,
             "platforms": list(platforms),
             "input_shape": list(spec.shape),
+            "n_members": self.n_members,
         }
         with open(os.path.join(path, _EXPORT_META), "w") as f:
             json.dump(meta, f, indent=1)
@@ -166,6 +167,7 @@ class Predictor:
         self.params = None
         self.batch_stats = {}
         self.mesh = mesh
+        self.n_members = int(meta.get("n_members", 0))
         self.batch_size = int(meta["batch_size"])
         if mesh is not None and self.batch_size % mesh.devices.size:
             raise ValueError(
@@ -213,6 +215,12 @@ class Predictor:
 
         params = stack([p["params"] for p in payloads])
         bs_list = [p.get("batch_stats") or {} for p in payloads]
+        if any(bs_list) and not all(bs_list):
+            raise ValueError(
+                "member checkpoints disagree on batch_stats presence "
+                f"(members with stats: "
+                f"{[i for i, b in enumerate(bs_list) if b]}) — the "
+                "sweep dir mixes incompatible models")
         batch_stats = stack(bs_list) if any(bs_list) else {}
         return cls(model_cfg, params, batch_stats,
                    n_members=len(dirs), **kw)

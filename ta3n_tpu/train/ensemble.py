@@ -152,7 +152,7 @@ def _sharding_rules(mesh, axis_name: str):
             s = NamedSharding(mesh, P(None, *s.spec))
         return s
 
-    return member, rep, sh
+    return member, sh
 
 
 def make_ensemble_step(model: VideoModel, da: DAConfig,
@@ -186,7 +186,7 @@ def make_ensemble_step(model: VideoModel, da: DAConfig,
 
     jit_kwargs = {}
     if mesh is not None:
-        member, _, sh = _sharding_rules(mesh, axis_name)
+        member, sh = _sharding_rules(mesh, axis_name)
         in_sh = tuple(sh(k, a) for k, a in zip(kinds, in_axes))
         jit_kwargs = dict(in_shardings=in_sh,
                           out_shardings=(member, member))
@@ -220,7 +220,7 @@ def make_ensemble_multi_step(model: VideoModel, da: DAConfig,
 
     jit_kwargs = {}
     if mesh is not None:
-        member, _, sh = _sharding_rules(mesh, axis_name)
+        member, sh = _sharding_rules(mesh, axis_name)
         # state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt, mask_t,
         # scalars, rng — the per-step args (idx/label/mask/scalars) carry
         # the extra leading K axis
@@ -263,7 +263,7 @@ def make_ensemble_eval_step(model: VideoModel, class_weights=None, *,
     veval = jax.vmap(base, in_axes=in_axes)
     jit_kwargs = {}
     if mesh is not None:
-        member, _, sh = _sharding_rules(mesh, axis_name)
+        member, sh = _sharding_rules(mesh, axis_name)
         kinds = (("store",) if gather_on_device else ()) + ("batch",) * 3
         jit_kwargs = dict(
             in_shardings=(member, member)

@@ -41,6 +41,11 @@ def _save_members(state, members, save_dir, arch, epoch, top1):
     """Write each member as a standard solo checkpoint
     (member_XX/checkpoint); returns the checkpoint paths."""
     from ta3n_tpu.io_utils import save_checkpoint
+    # ONE device->host transfer of the stacked tree; extract_member on
+    # the host copy just slices (per-member extraction would refetch the
+    # full ensemble N times — costly over the TPU tunnel, and this also
+    # runs inside the SIGTERM grace window)
+    state = jax.tree_util.tree_map(np.asarray, state)
     paths = []
     for k, (seed, lr, alpha) in enumerate(members):
         member = extract_member(state, k)
@@ -92,7 +97,11 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                          else mesh.size)
         data_par = mesh.shape.get("data", 1) if "member" in mesh.axis_names \
             else 1
-        for b in train_cfg.batch_size[:2]:
+        # all three batches shard over 'data': train batches in the
+        # multi-step, the VAL batch in the vmapped eval — checking only
+        # the train sizes would fail hours later at the first eval
+        # dispatch
+        for b in train_cfg.batch_size:
             if b % data_par:
                 raise ValueError(
                     f"batch size {b} not divisible by the mesh's data "
@@ -152,49 +161,57 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                                        store_t, idx_t, yt, mt, sc, keys)
                 gstep += spe
                 epochs_done = _epoch
+
+            # dispatch is ASYNC on this runtime: the loop above only
+            # enqueues work, so the real training wall-time is spent in
+            # this fetch — it must sit INSIDE the protected region for
+            # a preemption during execution to reach the emergency
+            # handler.  (The [spe, N] losses also feed per-row
+            # divergence reporting.)
+            final_loss = np.asarray(metrics["loss"])[-1]
+            train_s = time.time() - t0
+
+            # vmapped validation (also protected: an eval-time failure
+            # must not discard the trained sweep): every member scores
+            # the val split together
+            ev = make_ensemble_eval_step(model, class_weights,
+                                         gather_on_device=True,
+                                         mesh=mesh)
+            store_v = jax.device_put(
+                np.ascontiguousarray(val_loader.store.features))
+            hits = np.zeros(len(members))
+            count = np.zeros(len(members))
+            ens_hits, ens_count = 0.0, 0.0
+            for b in val_loader.index_epoch():
+                m = ev(state.params, state.batch_stats, store_v,
+                       b.abs_indices, b.labels, b.mask)
+                hits += np.asarray(m["top1"])
+                count += np.asarray(m["n"])
+                # deep-ensemble score for free: the vmapped eval
+                # already holds every member's logits — average the
+                # softmax over the REAL members (pads excluded) and
+                # count argmax hits.  (frame/tsn baselines expand
+                # logits per frame; skip the ensemble score there
+                # rather than mis-align rows)
+                logits = np.asarray(m["logits"][:n], np.float64)
+                if logits.shape[1] == len(b.labels):
+                    probs = np.exp(logits - logits.max(-1, keepdims=True))
+                    probs /= probs.sum(-1, keepdims=True)
+                    pred = probs.mean(axis=0).argmax(-1)
+                    mask = np.asarray(b.mask)
+                    ens_hits += float(((pred == b.labels) * mask).sum())
+                    ens_count += float(mask.sum())
     except BaseException:
-        # preemption/crash mid-sweep: save every member's resumable
-        # state before re-raising (the Trainer's emergency-checkpoint
-        # behavior, applied to sweeps; SIGTERM is routed here by
-        # loop._sigterm_as_interrupt in the CLIs)
+        # preemption/crash mid-sweep (or mid-eval): save every member's
+        # resumable state before re-raising (the Trainer's
+        # emergency-checkpoint behavior, applied to sweeps; SIGTERM is
+        # converted by loop._sigterm_as_interrupt above)
         if save_dir and epochs_done >= 1:
             _save_members(state, members[:n], save_dir, arch,
                           epochs_done, np.full(len(members), -1.0))
             log(f"emergency sweep checkpoints saved at epoch "
                 f"{epochs_done} -> {save_dir}")
         raise
-    # one fetch for the whole sweep: last epoch's [spe, N] losses — a
-    # diverged member is reported per row instead of silently scoring
-    # garbage (sweeps at aggressive hyper-parameters diverge by design)
-    final_loss = np.asarray(metrics["loss"])[-1]
-    train_s = time.time() - t0
-
-    # vmapped validation: every member scores the val split together
-    ev = make_ensemble_eval_step(model, class_weights,
-                                 gather_on_device=True, mesh=mesh)
-    store_v = jax.device_put(
-        np.ascontiguousarray(val_loader.store.features))
-    hits = np.zeros(len(members))
-    count = np.zeros(len(members))
-    ens_hits, ens_count = 0.0, 0.0
-    for b in val_loader.index_epoch():
-        m = ev(state.params, state.batch_stats, store_v,
-               b.abs_indices, b.labels, b.mask)
-        hits += np.asarray(m["top1"])
-        count += np.asarray(m["n"])
-        # deep-ensemble score for free: the vmapped eval already holds
-        # every member's logits — average the softmax over the REAL
-        # members (pads excluded) and count argmax hits.  (frame/tsn
-        # baselines expand logits per frame; skip the ensemble score
-        # there rather than mis-align rows)
-        logits = np.asarray(m["logits"][:n], np.float64)
-        if logits.shape[1] == len(b.labels):
-            probs = np.exp(logits - logits.max(-1, keepdims=True))
-            probs /= probs.sum(-1, keepdims=True)
-            pred = probs.mean(axis=0).argmax(-1)
-            mask = np.asarray(b.mask)
-            ens_hits += float(((pred == b.labels) * mask).sum())
-            ens_count += float(mask.sum())
     top1 = 100.0 * hits / np.maximum(count, 1)
     ensemble_top1 = (round(100.0 * ens_hits / ens_count, 2)
                      if ens_count else None)
@@ -204,10 +221,14 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
              if save_dir else None)
     results = []
     for k, (seed, lr, alpha) in enumerate(members[:n]):
+        finite = bool(np.isfinite(final_loss[k]))
         row = {"member": k, "seed": seed, "lr": lr, "alpha": alpha,
                "top1": round(float(top1[k]), 2),
-               "final_loss": round(float(final_loss[k]), 4)}
-        if not np.isfinite(final_loss[k]):
+               # None (JSON null) for non-finite values: bare NaN is not
+               # valid JSON and breaks non-Python manifest consumers
+               "final_loss": (round(float(final_loss[k]), 4)
+                              if finite else None)}
+        if not finite:
             row["diverged"] = True
             log(f"# member {k} (seed {seed}, lr {lr}, alpha {alpha}) "
                 f"diverged: final loss {final_loss[k]}")
