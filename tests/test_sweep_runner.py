@@ -82,3 +82,17 @@ def test_sweep_preemption_saves_emergency_checkpoints(tmp_path):
     payload = load_checkpoint(str(tmp_path / "member_01" / "checkpoint"))
     assert int(payload["epoch"]) == 1   # one epoch completed
     assert float(payload["prec1"]) == -1.0  # unvalidated emergency save
+
+
+def test_sweep_eval_failure_still_saves_members(tmp_path):
+    """A failure AFTER training (during validation) must not discard
+    the trained sweep: emergency checkpoints carry the full epoch
+    count."""
+    cfg, da, tc, ls, lt, lv = _setup()
+    killing_val = _KillingLoader(lv, kill_on_call=1)
+    with pytest.raises(KeyboardInterrupt, match="SIGTERM"):
+        run_sweep(cfg, da, tc, ls, lt, killing_val, [(0, 0.1, 0.0)],
+                  save_dir=str(tmp_path))
+    payload = load_checkpoint(str(tmp_path / "member_00" / "checkpoint"))
+    assert int(payload["epoch"]) == tc.epochs  # training fully done
+    assert float(payload["prec1"]) == -1.0     # but unvalidated
