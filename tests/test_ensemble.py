@@ -366,3 +366,43 @@ def test_ensemble_2d_mesh_multi_step_per_member_data():
     _leaves_allclose(est1.params, est2.params)
     np.testing.assert_allclose(np.asarray(m1["loss"]),
                                np.asarray(m2["loss"]), rtol=1e-5)
+
+
+def test_ensemble_rnn_and_adabn_configs_match_solo():
+    """The vmapped step is config-agnostic: the LSTM aggregator's
+    internal scan and AdaBN's mutable batch_stats must behave under the
+    member axis exactly as solo (one step, 2 members each)."""
+    for kw in ({"frame_aggregation": "rnn", "use_attn": "none"},
+               {"frame_aggregation": "avgpool", "use_attn": "none",
+                "use_bn": "AdaBN"}):
+        cfg = ModelConfig(num_class=4, baseline_type="video",
+                          train_segments=SEG, val_segments=SEG,
+                          fc_dim=16, feature_dim=FDIM, dropout_i=0.0,
+                          dropout_v=0.0, **kw)
+        da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+        tc = TrainConfig(lr=0.1, batch_size=(8, 8, 8))
+        model = VideoModel(cfg)
+        gen = np.random.default_rng(9)
+        (xs, ys, ms), (xt, yt, mt) = _batch(gen, 8, 4), _batch(gen, 8, 4)
+        sc = _scalars()
+
+        solo_step = make_train_step(model, da, tc)
+        solo = []
+        for s in (0, 1):
+            key = jax.random.PRNGKey(s)
+            st = create_train_state(model, key, 8, 8, tc)
+            st, _ = solo_step(st, xs, ys, ms, xt, yt, mt, sc, key)
+            solo.append(st)
+
+        est = create_ensemble_state(model, (0, 1), 8, 8, tc)
+        estep = make_ensemble_step(model, da, tc,
+                                   per_member_scalars=False)
+        est, _ = estep(est, xs, ys, ms, xt, yt, mt, sc,
+                       ensemble_keys((0, 1)))
+        for k in range(2):
+            _leaves_allclose(
+                jax.tree_util.tree_map(lambda l: l[k], est.params),
+                solo[k].params)
+            _leaves_allclose(
+                jax.tree_util.tree_map(lambda l: l[k], est.batch_stats),
+                solo[k].batch_stats)
