@@ -67,6 +67,10 @@ def main():
                          "under DIR/member_XX/ (+ sweep.json manifest) — "
                          "consumable by --resume, the eval CLI and "
                          "cli.serve like any training checkpoint")
+    ap.add_argument("--eval_freq", type=int, default=0,
+                    help=">0: validate every E epochs and track each "
+                         "member's best (model_best checkpoints with "
+                         "--save_dir); 0: final-only validation")
     args = ap.parse_args()
 
     src, tgt, val = make_rotated_domain_pair(
@@ -107,7 +111,7 @@ def main():
 
     out = run_sweep(cfg, da, tc, ls, lt, lv, members,
                     dann_lr_decay=args.dann_lr, mesh=mesh,
-                    save_dir=args.save_dir)
+                    save_dir=args.save_dir, eval_freq=args.eval_freq)
     for row in out["results"]:
         print(json.dumps(row), flush=True)
     print(json.dumps({"members": n, "epochs": args.epochs,

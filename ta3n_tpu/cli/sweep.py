@@ -90,7 +90,8 @@ def _run(args):
                     dann_lr_decay=args.lr_adaptive == 'dann', mesh=mesh,
                     class_weights=class_weights,
                     domain_weights=domain_weights,
-                    save_dir=args.sweep_dir, arch=args.arch)
+                    save_dir=args.sweep_dir, arch=args.arch,
+                    eval_freq=args.eval_freq)
     for row in out["results"]:
         print(json.dumps(row), flush=True)
     print(json.dumps({"members": len(members),

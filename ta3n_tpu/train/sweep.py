@@ -80,14 +80,20 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
               dann_lr_decay: bool = False, mesh=None,
               class_weights=None, domain_weights=None,
               save_dir: Optional[str] = None, arch: str = "none",
-              log=print) -> dict:
+              eval_freq: int = 0, log=print) -> dict:
     """Train every (seed, lr, alpha) member and return
     {"results": [{member, seed, lr, alpha, top1, checkpoint?}, ...],
     "train_wall_s": float}.
 
     train_cfg supplies epochs / batch sizes / beta / gamma / mu; lr and
     alpha come per member.  Negative beta entries follow the DANN ramp
-    exactly like the Trainer (schedules.effective_beta)."""
+    exactly like the Trainer (schedules.effective_beta).
+
+    eval_freq > 0 validates every E epochs (the Trainer's -ef
+    semantics, vmapped): rows then carry best_top1/best_epoch and, with
+    save_dir, each member's best state lands in member_XX/model_best
+    alongside the final member_XX/checkpoint.  eval_freq == 0 keeps the
+    cheap final-only validation."""
     from ta3n_tpu.models import VideoModel
 
     n = len(members)
@@ -123,9 +129,46 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     store_t = jax.device_put(
         np.ascontiguousarray(target_loader.store.features))
 
+    # vmapped validation, reused by the periodic and final passes:
+    # every member scores the val split together, and the deep-ensemble
+    # score comes for free (the eval already holds every member's
+    # logits — average the softmax over the REAL members, pads
+    # excluded; frame/tsn baselines expand logits per frame, so the
+    # ensemble score is skipped there rather than mis-aligning rows)
+    ev = make_ensemble_eval_step(model, class_weights,
+                                 gather_on_device=True, mesh=mesh)
+    store_v = jax.device_put(
+        np.ascontiguousarray(val_loader.store.features))
+
+    def validate():
+        hits = np.zeros(len(members))
+        count = np.zeros(len(members))
+        ens_hits, ens_count = 0.0, 0.0
+        for b in val_loader.index_epoch():
+            m = ev(state.params, state.batch_stats, store_v,
+                   b.abs_indices, b.labels, b.mask)
+            hits += np.asarray(m["top1"])
+            count += np.asarray(m["n"])
+            logits = np.asarray(m["logits"][:n], np.float64)
+            if logits.shape[1] == len(b.labels):
+                probs = np.exp(logits - logits.max(-1, keepdims=True))
+                probs /= probs.sum(-1, keepdims=True)
+                pred = probs.mean(axis=0).argmax(-1)
+                mask = np.asarray(b.mask)
+                ens_hits += float(((pred == b.labels) * mask).sum())
+                ens_count += float(mask.sum())
+        top1 = 100.0 * hits / np.maximum(count, 1)
+        ens = (round(100.0 * ens_hits / ens_count, 2)
+               if ens_count else None)
+        return top1, ens
+
     t0 = time.time()
     gstep = 0
     epochs_done = 0
+    best_top1 = np.full(len(members), -1.0)
+    best_epoch = np.zeros(len(members), np.int64)
+    best_states = [None] * len(members)
+    final_scores = None  # (top1, ensemble_top1) of the LAST epoch
     try:
         from ta3n_tpu.train.loop import _sigterm_as_interrupt
         with _sigterm_as_interrupt():
@@ -162,45 +205,37 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                 gstep += spe
                 epochs_done = _epoch
 
+                if eval_freq and (_epoch % eval_freq == 0
+                                  or _epoch == train_cfg.epochs):
+                    # periodic vmapped validation (the Trainer's -ef
+                    # semantics): track each member's best epoch/state
+                    top1_e, ens_e = validate()
+                    host = (jax.tree_util.tree_map(np.asarray, state)
+                            if save_dir else None)
+                    for k in range(n):
+                        if top1_e[k] > best_top1[k]:
+                            best_top1[k] = top1_e[k]
+                            best_epoch[k] = _epoch
+                            if host is not None:
+                                best_states[k] = jax.tree_util.tree_map(
+                                    lambda l: np.array(l[k]), host)
+                    if _epoch == train_cfg.epochs:
+                        final_scores = (top1_e, ens_e)
+
             # dispatch is ASYNC on this runtime: the loop above only
-            # enqueues work, so the real training wall-time is spent in
-            # this fetch — it must sit INSIDE the protected region for
-            # a preemption during execution to reach the emergency
-            # handler.  (The [spe, N] losses also feed per-row
-            # divergence reporting.)
+            # enqueues work, so (without periodic eval) the real
+            # training wall-time is spent in this fetch — it must sit
+            # INSIDE the protected region for a preemption during
+            # execution to reach the emergency handler.  (The [spe, N]
+            # losses also feed per-row divergence reporting.)
             final_loss = np.asarray(metrics["loss"])[-1]
             train_s = time.time() - t0
 
-            # vmapped validation (also protected: an eval-time failure
-            # must not discard the trained sweep): every member scores
-            # the val split together
-            ev = make_ensemble_eval_step(model, class_weights,
-                                         gather_on_device=True,
-                                         mesh=mesh)
-            store_v = jax.device_put(
-                np.ascontiguousarray(val_loader.store.features))
-            hits = np.zeros(len(members))
-            count = np.zeros(len(members))
-            ens_hits, ens_count = 0.0, 0.0
-            for b in val_loader.index_epoch():
-                m = ev(state.params, state.batch_stats, store_v,
-                       b.abs_indices, b.labels, b.mask)
-                hits += np.asarray(m["top1"])
-                count += np.asarray(m["n"])
-                # deep-ensemble score for free: the vmapped eval
-                # already holds every member's logits — average the
-                # softmax over the REAL members (pads excluded) and
-                # count argmax hits.  (frame/tsn baselines expand
-                # logits per frame; skip the ensemble score there
-                # rather than mis-align rows)
-                logits = np.asarray(m["logits"][:n], np.float64)
-                if logits.shape[1] == len(b.labels):
-                    probs = np.exp(logits - logits.max(-1, keepdims=True))
-                    probs /= probs.sum(-1, keepdims=True)
-                    pred = probs.mean(axis=0).argmax(-1)
-                    mask = np.asarray(b.mask)
-                    ens_hits += float(((pred == b.labels) * mask).sum())
-                    ens_count += float(mask.sum())
+            # final validation (also protected: an eval-time failure
+            # must not discard the trained sweep) unless the periodic
+            # pass already scored the last epoch
+            if final_scores is None:
+                final_scores = validate()
     except BaseException:
         # preemption/crash mid-sweep (or mid-eval): save every member's
         # resumable state before re-raising (the Trainer's
@@ -212,10 +247,26 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
             log(f"emergency sweep checkpoints saved at epoch "
                 f"{epochs_done} -> {save_dir}")
         raise
-    top1 = 100.0 * hits / np.maximum(count, 1)
-    ensemble_top1 = (round(100.0 * ens_hits / ens_count, 2)
-                     if ens_count else None)
+    top1, ensemble_top1 = final_scores
 
+    if save_dir and eval_freq:
+        # each member's best state -> member_XX/model_best (saved
+        # BEFORE the final state, which then overwrites member_XX/
+        # checkpoint while model_best keeps the best epoch)
+        from ta3n_tpu.io_utils import save_checkpoint
+        for k, st_best in enumerate(best_states[:n]):
+            if st_best is None:
+                continue
+            d = os.path.join(save_dir, f"member_{k:02d}")
+            save_checkpoint(d + "/", {
+                "epoch": int(best_epoch[k]), "arch": arch,
+                "params": st_best.params,
+                "batch_stats": st_best.batch_stats,
+                "opt_state": st_best.opt_state,
+                "best_prec1": float(best_top1[k]),
+                "prec1": float(best_top1[k]),
+                "step": int(st_best.step),
+            }, is_best=True)
     paths = (_save_members(state, members[:n], save_dir, arch,
                            train_cfg.epochs, top1)
              if save_dir else None)
@@ -228,6 +279,12 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                # valid JSON and breaks non-Python manifest consumers
                "final_loss": (round(float(final_loss[k]), 4)
                               if finite else None)}
+        if eval_freq:
+            row["best_top1"] = round(float(best_top1[k]), 2)
+            row["best_epoch"] = int(best_epoch[k])
+            if save_dir and best_states[k] is not None:
+                row["best_checkpoint"] = os.path.join(
+                    save_dir, f"member_{k:02d}", "model_best")
         if not finite:
             row["diverged"] = True
             log(f"# member {k} (seed {seed}, lr {lr}, alpha {alpha}) "

@@ -96,3 +96,21 @@ def test_sweep_eval_failure_still_saves_members(tmp_path):
     payload = load_checkpoint(str(tmp_path / "member_00" / "checkpoint"))
     assert int(payload["epoch"]) == tc.epochs  # training fully done
     assert float(payload["prec1"]) == -1.0     # but unvalidated
+
+
+def test_sweep_eval_freq_tracks_best(tmp_path):
+    """eval_freq > 0: per-member best_top1/best_epoch tracked across
+    periodic validations; model_best holds the best epoch while
+    checkpoint holds the final state."""
+    cfg, da, tc, ls, lt, lv = _setup()
+    out = run_sweep(cfg, da, tc, ls, lt, lv,
+                    [(0, 0.1, 0.0), (1, 0.05, 0.0)],
+                    save_dir=str(tmp_path), eval_freq=1)
+    for row in out["results"]:
+        assert row["best_top1"] >= row["top1"] - 1e-9
+        assert 1 <= row["best_epoch"] <= tc.epochs
+        best = load_checkpoint(row["best_checkpoint"])
+        assert int(best["epoch"]) == row["best_epoch"]
+        assert abs(float(best["best_prec1"]) - row["best_top1"]) < 1e-6
+        final = load_checkpoint(row["checkpoint"])
+        assert int(final["epoch"]) == tc.epochs
