@@ -114,3 +114,26 @@ def test_sweep_eval_freq_tracks_best(tmp_path):
         assert abs(float(best["best_prec1"]) - row["best_top1"]) < 1e-6
         final = load_checkpoint(row["checkpoint"])
         assert int(final["epoch"]) == tc.epochs
+
+
+def test_sweep_frame_baseline_skips_ensemble_score(tmp_path):
+    """frame baseline expands eval logits per frame; the deep-ensemble
+    score must be skipped (None), not mis-aligned."""
+    src, tgt, val = make_domain_pair(num_source=16, num_target=16,
+                                     num_val=8, num_class=3,
+                                     feature_dim=FDIM, seed=0)
+    cfg = ModelConfig(num_class=3, baseline_type="frame",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      dropout_i=0.0, dropout_v=0.0)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.1, epochs=1, batch_size=(8, 8, 8))
+    ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="test",
+                   seed=1)
+    lt = TSNLoader(tgt, batch_size=8, num_segments=SEG, mode="test",
+                   seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                   shuffle=False)
+    out = run_sweep(cfg, da, tc, ls, lt, lv, [(0, 0.1, 0.0)])
+    assert out["ensemble_top1"] is None
+    assert out["results"][0]["top1"] >= 0.0
