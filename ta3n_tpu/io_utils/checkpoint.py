@@ -23,7 +23,8 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 
 _CKPT_NAME = "checkpoint"
 _BEST_NAME = "model_best"
-_META_KEYS = ("epoch", "arch", "best_prec1", "prec1", "step")
+_META_KEYS = ("epoch", "arch", "best_prec1", "prec1", "step",
+              "lr_current")
 
 
 def save_checkpoint(path_exp: str, payload: Dict[str, Any],

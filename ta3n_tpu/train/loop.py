@@ -418,6 +418,13 @@ class Trainer:
             params=payload["params"], batch_stats=payload["batch_stats"])
         if resume_hp:
             self.state = self.state._replace(opt_state=payload["opt_state"])
+            # the reference's --resume_hp also restores the optimizer's
+            # CURRENT lr (main.py:102-104); ours lives in lr_current (the
+            # dann mode decays it after every batch, main.py:619-621) —
+            # without this the first resumed steps train at the undecayed
+            # base lr (found by the bitwise resume-equivalence test)
+            if "lr_current" in payload:
+                self.lr_current = float(payload["lr_current"])
         self.start_epoch = int(payload["epoch"]) + 1
         self.best_prec1 = float(payload["best_prec1"])
         # restore the step counter: it drives the on-device dropout-rng
@@ -435,6 +442,7 @@ class Trainer:
     def save(self, epoch: int, prec1: float, is_best: bool):
         save_checkpoint(self.path_exp, {
             "epoch": epoch,
+            "lr_current": float(self.lr_current),
             "arch": self.model_cfg.base_model,
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,

@@ -383,3 +383,66 @@ def test_zip_shard_chunk_plan():
         # a chunk never crosses a shard boundary in either stream
         assert j0_s + k <= ds.shard_steps(sid_s)
         assert j0_t + k <= dt.shard_steps(sid_t)
+
+
+def test_resume_bitwise_matches_uninterrupted_run(tmp_path):
+    """Checkpoint at epoch 2 + resume == one straight 4-epoch run,
+    parameter-BITWISE: in the device-sampled production mode every
+    stream (epoch permutations, TSN sampling, dropout) is a function of
+    the checkpointed step counter, and the schedules are functions of
+    (epoch, step) — so preemption + resume reproduces the uninterrupted
+    trajectory exactly (the reference restarts data/dropout streams
+    from scratch on resume)."""
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=12, num_class=3,
+                                     feature_dim=FDIM, shift=0.8)
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.2, dropout_v=0.2)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+
+    def trainer(epochs, exp):
+        tc = TrainConfig(lr=0.05, epochs=epochs, batch_size=(8, 6, 8),
+                         beta=(-1.0, -1.0, -1.0), lr_adaptive="dann")
+        ls = TSNLoader(src, batch_size=8, num_segments=SEG,
+                       mode="random", seed=1)
+        lt = TSNLoader(tgt, batch_size=6, num_segments=SEG,
+                       mode="random", seed=2)
+        lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                       shuffle=False)
+        return Trainer(cfg, da, tc, ls, lt, lv, path_exp=exp,
+                       use_mesh=False, device_store=True,
+                       steps_per_call=2, device_sampler=True,
+                       eval_freq=10, print_freq=100, show_freq=100,
+                       save_model=True, seed=0)
+
+    straight = trainer(4, str(tmp_path / "a") + "/")
+    straight.fit()
+
+    # preempt a 4-epoch run after epoch 2 (NOT a 2-epoch run: the DANN
+    # ramp denominator is epochs*spe, so the interrupted run must carry
+    # the same schedule as the straight one)
+    first = trainer(4, str(tmp_path / "b") + "/")
+    orig_validate = first.validate
+
+    def validate_then_interrupt(epoch):
+        prec1 = orig_validate(epoch)
+        if epoch == 2:
+            raise KeyboardInterrupt("preempted")
+        return prec1
+
+    first.eval_freq = 2
+    first.validate = validate_then_interrupt
+    try:
+        first.fit()  # emergency checkpoint at epoch 2
+    except KeyboardInterrupt:
+        pass
+    resumed = trainer(4, str(tmp_path / "b") + "/")
+    resumed.resume(str(tmp_path / "b") + "/checkpoint", resume_hp=True)
+    resumed.fit()
+
+    assert int(straight.state.step) == int(resumed.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(straight.state.params),
+                    jax.tree_util.tree_leaves(resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
