@@ -47,6 +47,13 @@ def main(argv=None):
                         help='0: single device; M>0: shard the member '
                              'axis M-way, data-parallelize each member '
                              'over the remaining devices')
+    parser.add_argument('--sweep_resume', default=False,
+                        action='store_true',
+                        help='continue a preempted sweep from '
+                             '--sweep_dir\'s member checkpoints '
+                             '(loaders fast-forwarded: deterministic '
+                             'setups reproduce the uninterrupted '
+                             'trajectory exactly)')
     args = parser.parse_args(argv)
 
     import jax as _jax
@@ -91,7 +98,7 @@ def _run(args):
                     class_weights=class_weights,
                     domain_weights=domain_weights,
                     save_dir=args.sweep_dir, arch=args.arch,
-                    eval_freq=args.eval_freq)
+                    eval_freq=args.eval_freq, resume=args.sweep_resume)
     for row in out["results"]:
         print(json.dumps(row), flush=True)
     print(json.dumps({"members": len(members),

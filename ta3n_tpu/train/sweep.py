@@ -37,6 +37,46 @@ from ta3n_tpu.train.step import StepScalars
 __all__ = ["run_sweep", "pad_members"]
 
 
+def _restack_members(save_dir: str, n: int, n_padded: int,
+                     template_state):
+    """Inverse of _save_members: stack the member_XX/checkpoint states
+    (e.g. a preempted sweep's emergency saves) back into one ensemble
+    TrainState; padded slots replay member 0.  ``template_state``: a
+    solo-shaped TrainState for typed orbax restoration (optax states
+    are NamedTuples that an untyped restore flattens to dicts).
+    Returns (state, start_epoch)."""
+    import jax.numpy as jnp
+
+    from ta3n_tpu.io_utils.checkpoint import load_checkpoint
+    from ta3n_tpu.train.step import TrainState
+
+    tmpl = {"epoch": 0, "arch": "x", "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+            "best_prec1": 0.0, "prec1": 0.0, "step": 0}
+    payloads = [load_checkpoint(os.path.join(save_dir, f"member_{k:02d}",
+                                             "checkpoint"),
+                                template=tmpl)
+                for k in range(n)]
+    epochs = {int(p["epoch"]) for p in payloads}
+    if len(epochs) != 1:
+        raise ValueError("member checkpoints disagree on epoch: "
+                         f"{sorted(epochs)} — not one sweep's save set")
+    idx = list(range(n)) + [0] * (n_padded - n)
+
+    def stack(key):
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[payloads[i][key] for i in idx])
+
+    bs_list = [payloads[i].get("batch_stats") or {} for i in idx]
+    batch_stats = stack("batch_stats") if all(bs_list) else {}
+    step = np.asarray([int(payloads[i]["step"]) for i in idx], np.int32)
+    state = TrainState(stack("params"), batch_stats, stack("opt_state"),
+                       jnp.asarray(step))
+    return state, epochs.pop() + 1
+
+
 def _save_members(state, members, save_dir, arch, epoch, top1):
     """Write each member as a standard solo checkpoint
     (member_XX/checkpoint); returns the checkpoint paths."""
@@ -80,7 +120,8 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
               dann_lr_decay: bool = False, mesh=None,
               class_weights=None, domain_weights=None,
               save_dir: Optional[str] = None, arch: str = "none",
-              eval_freq: int = 0, log=print) -> dict:
+              eval_freq: int = 0, resume: bool = False,
+              log=print) -> dict:
     """Train every (seed, lr, alpha) member and return
     {"results": [{member, seed, lr, alpha, top1, checkpoint?}, ...],
     "train_wall_s": float}.
@@ -93,7 +134,14 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     semantics, vmapped): rows then carry best_top1/best_epoch and, with
     save_dir, each member's best state lands in member_XX/model_best
     alongside the final member_XX/checkpoint.  eval_freq == 0 keeps the
-    cheap final-only validation."""
+    cheap final-only validation.
+
+    resume=True restacks save_dir's member_XX/checkpoint states (e.g.
+    the emergency saves of a preempted sweep) and continues from their
+    saved epoch; the shared loader streams are fast-forwarded, so in
+    deterministic-loader setups the resumed sweep reproduces the
+    uninterrupted trajectory exactly (best-so-far tracking restarts —
+    model_best dirs from before the preemption survive on disk)."""
     from ta3n_tpu.models import VideoModel
 
     n = len(members)
@@ -117,7 +165,19 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     model = VideoModel(model_cfg)
     bs, bt = train_cfg.batch_size[0], train_cfg.batch_size[1]
     seeds = [m[0] for m in members]
-    state = create_ensemble_state(model, seeds, bs, bt, train_cfg)
+    start_epoch = 1
+    if resume:
+        if not save_dir:
+            raise ValueError("resume=True requires save_dir (the sweep's "
+                             "member checkpoints live there)")
+        from ta3n_tpu.train.step import create_train_state
+        template = create_train_state(model, jax.random.PRNGKey(0), bs,
+                                      bt, train_cfg)
+        state, start_epoch = _restack_members(save_dir, n, len(members),
+                                              template)
+        log(f"# resumed sweep from {save_dir} at epoch {start_epoch}")
+    else:
+        state = create_ensemble_state(model, seeds, bs, bt, train_cfg)
     keys = ensemble_keys(seeds)
     multi = make_ensemble_multi_step(model, da_cfg, train_cfg,
                                      class_weights, domain_weights,
@@ -162,9 +222,19 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                if ens_count else None)
         return top1, ens
 
+    if start_epoch > train_cfg.epochs:
+        raise ValueError(
+            f"nothing to resume: checkpoints are at epoch "
+            f"{start_epoch - 1} of {train_cfg.epochs}")
     t0 = time.time()
-    gstep = 0
-    epochs_done = 0
+    gstep = (start_epoch - 1) * spe
+    # fast-forward the shared streams past the completed epochs so a
+    # resumed sweep consumes exactly the batches the uninterrupted run
+    # would have (deterministic loaders -> exact trajectory continuation)
+    for _ in range(start_epoch - 1):
+        list(itertools.islice(source_loader.index_epoch(), spe))
+        list(itertools.islice(target_loader.index_epoch(), spe))
+    epochs_done = start_epoch - 1
     best_top1 = np.full(len(members), -1.0)
     best_epoch = np.zeros(len(members), np.int64)
     best_states = [None] * len(members)
@@ -172,7 +242,7 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     try:
         from ta3n_tpu.train.loop import _sigterm_as_interrupt
         with _sigterm_as_interrupt():
-            for _epoch in range(1, train_cfg.epochs + 1):
+            for _epoch in range(start_epoch, train_cfg.epochs + 1):
                 # one dispatch per epoch: spe stacked index batches
                 # (shared stream) + per-member schedule scalars [spe, N]
                 # — all numpy, so the schedule block ships with the one

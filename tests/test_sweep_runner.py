@@ -5,6 +5,7 @@ handling (SURVEY §5.3) applied to sweeps."""
 import os
 import signal
 
+import jax
 import numpy as np
 import pytest
 
@@ -137,3 +138,37 @@ def test_sweep_frame_baseline_skips_ensemble_score(tmp_path):
     out = run_sweep(cfg, da, tc, ls, lt, lv, [(0, 0.1, 0.0)])
     assert out["ensemble_top1"] is None
     assert out["results"][0]["top1"] >= 0.0
+
+
+def test_sweep_resume_bitwise_matches_uninterrupted(tmp_path):
+    """Preempt a sweep at epoch 2, resume=True from its emergency
+    member checkpoints: final members match the uninterrupted sweep
+    BITWISE (restacked states are exact; the shared loader streams are
+    fast-forwarded past the completed epochs)."""
+    members = [(0, 0.1, 0.0), (1, 0.05, 0.0)]
+
+    def run(save_dir, kill=False, resume=False):
+        cfg, da, tc, ls, lt, lv = _setup()  # epochs=4, fresh loaders
+        if kill:
+            ls = _KillingLoader(ls, kill_on_call=3)  # start of epoch 3
+        return run_sweep(cfg, da, tc, ls, lt, lv, members,
+                         save_dir=save_dir, resume=resume)
+
+    out_a = run(str(tmp_path / "a"))
+
+    with pytest.raises(KeyboardInterrupt, match="SIGTERM"):
+        run(str(tmp_path / "b"), kill=True)  # emergency saves at epoch 2
+    out_b = run(str(tmp_path / "b"), resume=True)
+
+    assert [r["top1"] for r in out_a["results"]] == \
+        [r["top1"] for r in out_b["results"]]
+    from ta3n_tpu.io_utils.checkpoint import load_checkpoint
+    for k in range(2):
+        a = load_checkpoint(str(tmp_path / "a" / f"member_{k:02d}"
+                                / "checkpoint"))
+        b = load_checkpoint(str(tmp_path / "b" / f"member_{k:02d}"
+                                / "checkpoint"))
+        assert int(a["epoch"]) == int(b["epoch"]) == 4
+        for la, lb in zip(jax.tree_util.tree_leaves(a["params"]),
+                          jax.tree_util.tree_leaves(b["params"])):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
