@@ -9,7 +9,7 @@
 #   bash examples/quickstart.sh [WORKDIR]
 set -euo pipefail
 
-WS=${1:-$(mktemp -d)}
+WS=$(realpath -m "${1:-$(mktemp -d)}")  # resolve BEFORE the cd below
 cd "$(dirname "$0")/.."
 export PYTHONPATH=.:${PYTHONPATH:-}
 export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu

@@ -77,29 +77,39 @@ def _restack_members(save_dir: str, n: int, n_padded: int,
     return state, epochs.pop() + 1
 
 
-def _save_members(state, members, save_dir, arch, epoch, top1):
-    """Write each member as a standard solo checkpoint
-    (member_XX/checkpoint); returns the checkpoint paths."""
+def _save_one_member(host_state, k: int, save_dir: str, arch: str,
+                     epoch: int, prec1: float, best_prec1: float,
+                     is_best: bool) -> str:
+    """One member of an (already host-fetched) stacked state -> a
+    standard solo checkpoint under member_XX/ (is_best additionally
+    copies it to member_XX/model_best, like Trainer.save)."""
     from ta3n_tpu.io_utils import save_checkpoint
+    member = extract_member(host_state, k)
+    d = os.path.join(save_dir, f"member_{k:02d}")
+    save_checkpoint(d + "/", {
+        "epoch": epoch, "arch": arch,
+        "params": member.params,
+        "batch_stats": member.batch_stats,
+        "opt_state": member.opt_state,
+        "best_prec1": float(best_prec1), "prec1": float(prec1),
+        "step": int(member.step),
+    }, is_best=is_best)
+    return d + "/checkpoint"
+
+
+def _save_members(state, n: int, save_dir, arch, epoch, top1, best=None):
+    """Write members 0..n-1 as solo checkpoints; returns the paths.
+    ``best``: running best-top1 per member (defaults to top1), recorded
+    as best_prec1 like the Trainer's checkpoints."""
     # ONE device->host transfer of the stacked tree; extract_member on
     # the host copy just slices (per-member extraction would refetch the
     # full ensemble N times — costly over the TPU tunnel, and this also
     # runs inside the SIGTERM grace window)
     state = jax.tree_util.tree_map(np.asarray, state)
-    paths = []
-    for k, (seed, lr, alpha) in enumerate(members):
-        member = extract_member(state, k)
-        d = os.path.join(save_dir, f"member_{k:02d}")
-        save_checkpoint(d + "/", {
-            "epoch": epoch, "arch": arch,
-            "params": member.params,
-            "batch_stats": member.batch_stats,
-            "opt_state": member.opt_state,
-            "best_prec1": float(top1[k]), "prec1": float(top1[k]),
-            "step": int(member.step),
-        }, is_best=False)
-        paths.append(d + "/checkpoint")
-    return paths
+    return [_save_one_member(
+        state, k, save_dir, arch, epoch, float(top1[k]),
+        float(max(top1[k], best[k])) if best is not None else
+        float(top1[k]), False) for k in range(n)]
 
 
 def pad_members(members: Sequence[Tuple], member_shards: int,
@@ -138,10 +148,13 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
 
     resume=True restacks save_dir's member_XX/checkpoint states (e.g.
     the emergency saves of a preempted sweep) and continues from their
-    saved epoch; the shared loader streams are fast-forwarded, so in
-    deterministic-loader setups the resumed sweep reproduces the
-    uninterrupted trajectory exactly (best-so-far tracking restarts —
-    model_best dirs from before the preemption survive on disk)."""
+    step counter (authoritative over the meta epoch: an interrupt can
+    land between a dispatch and its epoch bookkeeping); the shared
+    loader streams are fast-forwarded, so deterministic-loader setups
+    reproduce the uninterrupted trajectory exactly.  The sweep's
+    identity (members/epochs/spe/batches) is recorded in
+    save_dir/sweep_meta.json and verified on resume, and best tracking
+    is seeded from the persisted member_XX/model_best metas."""
     from ta3n_tpu.models import VideoModel
 
     n = len(members)
@@ -165,24 +178,66 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     model = VideoModel(model_cfg)
     bs, bt = train_cfg.batch_size[0], train_cfg.batch_size[1]
     seeds = [m[0] for m in members]
+    spe = min(len(source_loader), len(target_loader))
+    best_top1 = np.full(len(members), -1.0)
+    best_epoch = np.zeros(len(members), np.int64)
+
+    # sweep identity: written at sweep start, verified on resume — a
+    # resume under different members/epochs/spe/batches would silently
+    # continue member k's state under member j's schedule otherwise
+    ident = {"members": [list(m) for m in members[:n]],
+             "epochs": int(train_cfg.epochs), "spe": int(spe),
+             "batch_size": [int(b) for b in train_cfg.batch_size]}
+    meta_path = (os.path.join(save_dir, "sweep_meta.json")
+                 if save_dir else None)
+
     start_epoch = 1
     if resume:
         if not save_dir:
             raise ValueError("resume=True requires save_dir (the sweep's "
                              "member checkpoints live there)")
+        if meta_path and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = json.load(f)
+            if prev != ident:
+                raise ValueError(
+                    "resume with a different sweep configuration: "
+                    f"saved {prev} vs current {ident}")
         from ta3n_tpu.train.step import create_train_state
         template = create_train_state(model, jax.random.PRNGKey(0), bs,
                                       bt, train_cfg)
         state, start_epoch = _restack_members(save_dir, n, len(members),
                                               template)
+        # the step counter is authoritative: an interrupt in the window
+        # between an epoch's dispatch and its bookkeeping saves state
+        # that already contains epoch E labeled E-1 — resuming from the
+        # meta epoch would train E twice on an advanced state
+        step0 = int(np.asarray(state.step)[0])
+        if step0 // spe != start_epoch - 1:
+            log(f"# meta epoch {start_epoch - 1} != step-derived "
+                f"{step0 // spe}; trusting the step counter")
+            start_epoch = step0 // spe + 1
+        # seed best tracking from the persisted model_best metas so a
+        # pre-preemption best survives the resume
+        for k in range(n):
+            mb_meta = os.path.join(save_dir, f"member_{k:02d}",
+                                   "model_best.meta.json")
+            if os.path.exists(mb_meta):
+                with open(mb_meta) as f:
+                    mm = json.load(f)
+                best_top1[k] = float(mm.get("best_prec1", -1.0))
+                best_epoch[k] = int(mm.get("epoch", 0))
         log(f"# resumed sweep from {save_dir} at epoch {start_epoch}")
     else:
         state = create_ensemble_state(model, seeds, bs, bt, train_cfg)
+        if meta_path:
+            os.makedirs(save_dir, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(ident, f)
     keys = ensemble_keys(seeds)
     multi = make_ensemble_multi_step(model, da_cfg, train_cfg,
                                      class_weights, domain_weights,
                                      mesh=mesh)
-    spe = min(len(source_loader), len(target_loader))
     total_steps = spe * train_cfg.epochs
     store_s = jax.device_put(
         np.ascontiguousarray(source_loader.store.features))
@@ -194,13 +249,19 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
     # score comes for free (the eval already holds every member's
     # logits — average the softmax over the REAL members, pads
     # excluded; frame/tsn baselines expand logits per frame, so the
-    # ensemble score is skipped there rather than mis-aligning rows)
-    ev = make_ensemble_eval_step(model, class_weights,
-                                 gather_on_device=True, mesh=mesh)
-    store_v = jax.device_put(
-        np.ascontiguousarray(val_loader.store.features))
+    # ensemble score is skipped there rather than mis-aligning rows).
+    # Eval structures build lazily on the first validation so the
+    # eval_freq=0 path keeps the val store OUT of device memory for the
+    # whole training run
+    _ev = {}
 
     def validate():
+        if not _ev:
+            _ev["step"] = make_ensemble_eval_step(
+                model, class_weights, gather_on_device=True, mesh=mesh)
+            _ev["store"] = jax.device_put(
+                np.ascontiguousarray(val_loader.store.features))
+        ev, store_v = _ev["step"], _ev["store"]
         hits = np.zeros(len(members))
         count = np.zeros(len(members))
         ens_hits, ens_count = 0.0, 0.0
@@ -235,9 +296,6 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         list(itertools.islice(source_loader.index_epoch(), spe))
         list(itertools.islice(target_loader.index_epoch(), spe))
     epochs_done = start_epoch - 1
-    best_top1 = np.full(len(members), -1.0)
-    best_epoch = np.zeros(len(members), np.int64)
-    best_states = [None] * len(members)
     final_scores = None  # (top1, ensemble_top1) of the LAST epoch
     try:
         from ta3n_tpu.train.loop import _sigterm_as_interrupt
@@ -278,17 +336,25 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                 if eval_freq and (_epoch % eval_freq == 0
                                   or _epoch == train_cfg.epochs):
                     # periodic vmapped validation (the Trainer's -ef
-                    # semantics): track each member's best epoch/state
+                    # semantics): track each member's best epoch and
+                    # persist it to member_XX/model_best IMMEDIATELY, so
+                    # the best survives preemption AND resume seeds from
+                    # it.  The full state is fetched only when some
+                    # member actually improved (the transfer is the
+                    # dominant tunnel cost)
                     top1_e, ens_e = validate()
-                    host = (jax.tree_util.tree_map(np.asarray, state)
-                            if save_dir else None)
-                    for k in range(n):
-                        if top1_e[k] > best_top1[k]:
-                            best_top1[k] = top1_e[k]
-                            best_epoch[k] = _epoch
-                            if host is not None:
-                                best_states[k] = jax.tree_util.tree_map(
-                                    lambda l: np.array(l[k]), host)
+                    improved = [k for k in range(n)
+                                if top1_e[k] > best_top1[k]]
+                    for k in improved:
+                        best_top1[k] = top1_e[k]
+                        best_epoch[k] = _epoch
+                    if save_dir and improved:
+                        host = jax.tree_util.tree_map(np.asarray, state)
+                        for k in improved:
+                            _save_one_member(host, k, save_dir, arch,
+                                             _epoch, float(top1_e[k]),
+                                             float(best_top1[k]),
+                                             is_best=True)
                     if _epoch == train_cfg.epochs:
                         final_scores = (top1_e, ens_e)
 
@@ -312,33 +378,17 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         # emergency-checkpoint behavior, applied to sweeps; SIGTERM is
         # converted by loop._sigterm_as_interrupt above)
         if save_dir and epochs_done >= 1:
-            _save_members(state, members[:n], save_dir, arch,
-                          epochs_done, np.full(len(members), -1.0))
+            _save_members(state, n, save_dir, arch, epochs_done,
+                          np.full(n, -1.0),
+                          best=best_top1[:n] if eval_freq else None)
             log(f"emergency sweep checkpoints saved at epoch "
                 f"{epochs_done} -> {save_dir}")
         raise
     top1, ensemble_top1 = final_scores
 
-    if save_dir and eval_freq:
-        # each member's best state -> member_XX/model_best (saved
-        # BEFORE the final state, which then overwrites member_XX/
-        # checkpoint while model_best keeps the best epoch)
-        from ta3n_tpu.io_utils import save_checkpoint
-        for k, st_best in enumerate(best_states[:n]):
-            if st_best is None:
-                continue
-            d = os.path.join(save_dir, f"member_{k:02d}")
-            save_checkpoint(d + "/", {
-                "epoch": int(best_epoch[k]), "arch": arch,
-                "params": st_best.params,
-                "batch_stats": st_best.batch_stats,
-                "opt_state": st_best.opt_state,
-                "best_prec1": float(best_top1[k]),
-                "prec1": float(best_top1[k]),
-                "step": int(st_best.step),
-            }, is_best=True)
-    paths = (_save_members(state, members[:n], save_dir, arch,
-                           train_cfg.epochs, top1)
+    paths = (_save_members(state, n, save_dir, arch, train_cfg.epochs,
+                           top1, best=best_top1[:n] if eval_freq
+                           else None)
              if save_dir else None)
     results = []
     for k, (seed, lr, alpha) in enumerate(members[:n]):
@@ -352,9 +402,10 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         if eval_freq:
             row["best_top1"] = round(float(best_top1[k]), 2)
             row["best_epoch"] = int(best_epoch[k])
-            if save_dir and best_states[k] is not None:
-                row["best_checkpoint"] = os.path.join(
-                    save_dir, f"member_{k:02d}", "model_best")
+            mb = os.path.join(save_dir or "", f"member_{k:02d}",
+                              "model_best")
+            if save_dir and os.path.isdir(mb):
+                row["best_checkpoint"] = mb
         if not finite:
             row["diverged"] = True
             log(f"# member {k} (seed {seed}, lr {lr}, alpha {alpha}) "

@@ -152,7 +152,7 @@ def test_sweep_resume_bitwise_matches_uninterrupted(tmp_path):
         if kill:
             ls = _KillingLoader(ls, kill_on_call=3)  # start of epoch 3
         return run_sweep(cfg, da, tc, ls, lt, lv, members,
-                         save_dir=save_dir, resume=resume)
+                         save_dir=save_dir, resume=resume, eval_freq=1)
 
     out_a = run(str(tmp_path / "a"))
 
@@ -162,6 +162,16 @@ def test_sweep_resume_bitwise_matches_uninterrupted(tmp_path):
 
     assert [r["top1"] for r in out_a["results"]] == \
         [r["top1"] for r in out_b["results"]]
+    # best tracking survives the preemption (seeded from the persisted
+    # model_best metas, which may predate the resume)
+    assert [(r["best_top1"], r["best_epoch"]) for r in out_a["results"]] \
+        == [(r["best_top1"], r["best_epoch"]) for r in out_b["results"]]
+
+    # resuming under a different configuration is rejected
+    with pytest.raises(ValueError, match="different sweep config"):
+        cfg, da, tc, ls, lt, lv = _setup()
+        run_sweep(cfg, da, tc, ls, lt, lv, [(5, 0.2, 0.0), (6, 0.3, 0.0)],
+                  save_dir=str(tmp_path / "b"), resume=True)
     from ta3n_tpu.io_utils.checkpoint import load_checkpoint
     for k in range(2):
         a = load_checkpoint(str(tmp_path / "a" / f"member_{k:02d}"
