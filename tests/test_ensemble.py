@@ -406,3 +406,19 @@ def test_ensemble_rnn_and_adabn_configs_match_solo():
             _leaves_allclose(
                 jax.tree_util.tree_map(lambda l: l[k], est.batch_stats),
                 solo[k].batch_stats)
+
+
+def test_ensemble_error_paths():
+    from ta3n_tpu.train.ensemble import make_ensemble_mesh
+    from ta3n_tpu.train.sweep import pad_members
+
+    # mesh: device count must divide member_shards
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        make_ensemble_mesh(3)  # 8 devices
+
+    # padding: to the member-axis multiple, duplicating member 0
+    padded = pad_members([(0, 0.1, 1.0), (1, 0.1, 1.0), (2, 0.1, 1.0)],
+                         4, log=lambda *_: None)
+    assert len(padded) == 4 and padded[3] == padded[0]
+    assert pad_members([(0, 0.1, 1.0)], 1) == [(0, 0.1, 1.0)]

@@ -182,3 +182,31 @@ def test_sweep_resume_bitwise_matches_uninterrupted(tmp_path):
         for la, lb in zip(jax.tree_util.tree_leaves(a["params"]),
                           jax.tree_util.tree_leaves(b["params"])):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_restack_rejects_mixed_epochs(tmp_path):
+    """_restack_members refuses checkpoint sets whose epochs disagree
+    (not one sweep's save set)."""
+    from ta3n_tpu.io_utils import save_checkpoint
+    from ta3n_tpu.train.ensemble import create_ensemble_state
+    from ta3n_tpu.train.sweep import _restack_members
+    from ta3n_tpu.config import ModelConfig, TrainConfig
+    from ta3n_tpu.models import VideoModel
+    from ta3n_tpu.train.step import create_train_state
+
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      dropout_i=0.0, dropout_v=0.0)
+    tc = TrainConfig(lr=0.1, epochs=2, batch_size=(8, 8, 8))
+    import jax as _jax
+    model = VideoModel(cfg)
+    st = create_train_state(model, _jax.random.PRNGKey(0), 8, 8, tc)
+    host = _jax.tree_util.tree_map(np.asarray, st)
+    for k, ep in enumerate((1, 2)):
+        save_checkpoint(str(tmp_path / f"member_{k:02d}") + "/", {
+            "epoch": ep, "arch": "none", "params": host.params,
+            "batch_stats": host.batch_stats, "opt_state": host.opt_state,
+            "best_prec1": 0.0, "prec1": 0.0, "step": ep})
+    with pytest.raises(ValueError, match="disagree on epoch"):
+        _restack_members(str(tmp_path), 2, 2, st)
