@@ -33,6 +33,11 @@ def build_parser():
     p.add_argument("--data_parallel", default=False, action="store_true",
                    help="shard each request batch over all local devices "
                         "(1-D data mesh compiled into the predict program)")
+    p.add_argument("--sweep_best", default=False, action="store_true",
+                   help="when WEIGHTS is a sweep dir: serve each "
+                        "member's best-validation state (model_best, "
+                        "written by -ef sweeps) instead of its final "
+                        "checkpoint")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--export", default=None, metavar="DIR",
@@ -71,10 +76,13 @@ def main(argv=None):
         if Predictor.is_sweep(args.weights):
             # WEIGHTS is a sweep output dir: serve ALL members as a
             # deep ensemble (member-averaged softmax, one vmapped pass)
+            which = "model_best" if args.sweep_best else "checkpoint"
             predictor = Predictor.from_sweep(args.weights, cfg,
+                                             which=which,
                                              batch_size=args.batch_size,
                                              top_k=args.top_k, mesh=mesh)
-            print(f"ensemble serving: {predictor.n_members} members")
+            print(f"ensemble serving: {predictor.n_members} members "
+                  f"({which})")
         else:
             predictor = Predictor.from_checkpoint(
                 args.weights, cfg, batch_size=args.batch_size,

@@ -187,23 +187,30 @@ class Predictor:
 
     @classmethod
     def from_sweep(cls, sweep_dir: str, model_cfg: ModelConfig,
-                   members=None, **kw) -> "Predictor":
+                   members=None, which: str = "checkpoint",
+                   **kw) -> "Predictor":
         """Ensemble predictor over a sweep output (cli.sweep
         --sweep_dir / ensemble_sweep --save_dir): loads every
-        member_XX/checkpoint (or just `members`, a sequence of member
+        member_XX/<which> (or just `members`, a sequence of member
         indices), stacks the parameter trees on a leading member axis,
         and serves the member-averaged softmax in one vmapped pass —
-        deep-ensemble inference the reference has no analogue for."""
+        deep-ensemble inference the reference has no analogue for.
+        ``which="model_best"`` serves each member's best-validation
+        epoch (written by eval_freq sweeps) instead of its final
+        state."""
         import glob as _glob
 
         from ta3n_tpu.io_utils.checkpoint import load_checkpoint
 
+        if which not in ("checkpoint", "model_best"):
+            raise ValueError(f"which={which!r}: expected 'checkpoint' "
+                             "or 'model_best'")
         if members is not None:
             dirs = [os.path.join(sweep_dir, f"member_{int(k):02d}",
-                                 "checkpoint") for k in members]
+                                 which) for k in members]
         else:
             dirs = sorted(_glob.glob(
-                os.path.join(sweep_dir, "member_*", "checkpoint")))
+                os.path.join(sweep_dir, "member_*", which)))
         if not dirs:
             raise FileNotFoundError(
                 f"no member_*/checkpoint under {sweep_dir}")

@@ -148,3 +148,47 @@ def test_ensemble_predictor_export_roundtrip(tmp_path):
     x = np.random.default_rng(3).normal(size=(4, 3, 16)).astype(np.float32)
     np.testing.assert_allclose(served(x)[0], ens(x)[0], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_ensemble_predictor_model_best(tmp_path):
+    """which='model_best' serves each member's best-validation state
+    (distinct from its final checkpoint)."""
+    from ta3n_tpu.io_utils import save_checkpoint
+
+    st_best = create_train_state(VideoModel(CFG), jax.random.PRNGKey(7),
+                                 4, 4, TrainConfig(batch_size=(4, 4, 4)))
+    st_final = create_train_state(VideoModel(CFG), jax.random.PRNGKey(8),
+                                  4, 4, TrainConfig(batch_size=(4, 4, 4)))
+    d = str(tmp_path / "member_00") + "/"
+    save_checkpoint(d, {"epoch": 1, "arch": "none",
+                        "params": st_best.params,
+                        "batch_stats": st_best.batch_stats,
+                        "opt_state": st_best.opt_state,
+                        "best_prec1": 80.0, "prec1": 80.0, "step": 1},
+                    is_best=True)  # model_best = this state
+    save_checkpoint(d, {"epoch": 2, "arch": "none",
+                        "params": st_final.params,
+                        "batch_stats": st_final.batch_stats,
+                        "opt_state": st_final.opt_state,
+                        "best_prec1": 80.0, "prec1": 50.0, "step": 2},
+                    is_best=False)  # checkpoint = final state
+
+    x = np.random.default_rng(4).normal(size=(4, 3, 16)).astype(np.float32)
+    p_final = Predictor.from_sweep(str(tmp_path), CFG, batch_size=4)(x)[0]
+    p_best = Predictor.from_sweep(str(tmp_path), CFG, batch_size=4,
+                                  which="model_best")(x)[0]
+    solo_best = Predictor(CFG, st_best.params, st_best.batch_stats,
+                          batch_size=4)(x)[0]
+    solo_final = Predictor(CFG, st_final.params, st_final.batch_stats,
+                           batch_size=4)(x)[0]
+    np.testing.assert_allclose(p_best, solo_best, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(p_final, solo_final, rtol=1e-5, atol=1e-6)
+    # the two sources hold genuinely different states (probs are near
+    # uniform for untrained std-0.001 inits, so compare params)
+    ens_best = Predictor.from_sweep(str(tmp_path), CFG, batch_size=4,
+                                    which="model_best")
+    ens_final = Predictor.from_sweep(str(tmp_path), CFG, batch_size=4)
+    diffs = [np.abs(a - b).max() for a, b in
+             zip(jax.tree_util.tree_leaves(ens_best.params),
+                 jax.tree_util.tree_leaves(ens_final.params))]
+    assert max(diffs) > 1e-4
