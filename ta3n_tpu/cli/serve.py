@@ -73,6 +73,11 @@ def main(argv=None):
             fc_dim=args.fc_dim, use_attn=args.use_attn,
             use_attn_frame=args.use_attn_frame, use_bn=args.use_bn,
             share_params=args.share_params)
+        if args.sweep_best and not Predictor.is_sweep(args.weights):
+            raise SystemExit(
+                f"--sweep_best: {args.weights} is not a sweep output "
+                "dir (no member_XX checkpoints) — for a solo training "
+                "run point WEIGHTS at its model_best dir directly")
         if Predictor.is_sweep(args.weights):
             # WEIGHTS is a sweep output dir: serve ALL members as a
             # deep ensemble (member-averaged softmax, one vmapped pass)

@@ -211,9 +211,28 @@ class Predictor:
         else:
             dirs = sorted(_glob.glob(
                 os.path.join(sweep_dir, "member_*", which)))
+            if which == "model_best":
+                # refuse to silently serve a smaller ensemble: members
+                # without a model_best (no -ef sweep, partial copy,
+                # preempted before their first eval) must be explicit
+                have = {os.path.basename(os.path.dirname(d))
+                        for d in dirs}
+                all_m = {os.path.basename(os.path.dirname(d))
+                         for d in _glob.glob(os.path.join(
+                             sweep_dir, "member_*", "checkpoint"))}
+                missing = sorted(all_m - have)
+                if missing:
+                    raise FileNotFoundError(
+                        f"{missing} have no model_best under "
+                        f"{sweep_dir} (model_best is written by "
+                        "eval_freq>0 sweeps) — serve the final states "
+                        "instead, or pass members= to select the "
+                        "members that have one")
         if not dirs:
             raise FileNotFoundError(
-                f"no member_*/checkpoint under {sweep_dir}")
+                f"no member_*/{which} under {sweep_dir}"
+                + (" (model_best is written by eval_freq>0 sweeps)"
+                   if which == "model_best" else ""))
         payloads = [load_checkpoint(d) for d in dirs]
 
         def stack(trees):

@@ -192,3 +192,21 @@ def test_ensemble_predictor_model_best(tmp_path):
              zip(jax.tree_util.tree_leaves(ens_best.params),
                  jax.tree_util.tree_leaves(ens_final.params))]
     assert max(diffs) > 1e-4
+
+
+def test_sweep_best_guards(tmp_path):
+    """which='model_best' refuses partial/missing best sets with a
+    pointed error instead of silently serving a smaller ensemble."""
+    from ta3n_tpu.io_utils import save_checkpoint
+
+    st = create_train_state(VideoModel(CFG), jax.random.PRNGKey(0),
+                            4, 4, TrainConfig(batch_size=(4, 4, 4)))
+    for k in range(2):  # checkpoints only, no model_best anywhere
+        save_checkpoint(str(tmp_path / f"member_{k:02d}") + "/", {
+            "epoch": 1, "arch": "none", "params": st.params,
+            "batch_stats": st.batch_stats, "opt_state": st.opt_state,
+            "best_prec1": 0.0, "prec1": 0.0, "step": 1})
+    with pytest.raises(FileNotFoundError, match="model_best"):
+        Predictor.from_sweep(str(tmp_path), CFG, which="model_best")
+    with pytest.raises(ValueError, match="expected 'checkpoint'"):
+        Predictor.from_sweep(str(tmp_path), CFG, which="latest")
