@@ -191,12 +191,14 @@ def build_parser() -> argparse.ArgumentParser:
                              'emergency checkpoint at the next metric '
                              'flush; the reference trains on through NaN)')
     parser.add_argument('--store_dtype', type=str, default='float32',
-                        choices=['float32', 'bfloat16'],
+                        choices=['float32', 'bfloat16', 'int8'],
                         help='dtype of the HBM-resident feature store '
                              '(device_store only): bfloat16 halves HBM '
-                             'residency and per-step gather bytes; rows '
-                             'are cast to --compute_dtype after the '
-                             'gather')
+                             'residency and per-step gather bytes; int8 '
+                             'quarters them (per-row symmetric '
+                             'quantization, dequantized on device); '
+                             'rows are cast to --compute_dtype after '
+                             'the gather')
     parser.add_argument('--seed', type=int, default=1,
                         help='global seed (the reference hardcodes 1, '
                              'main.py:24-26)')

@@ -98,7 +98,10 @@ def _run(args):
                     class_weights=class_weights,
                     domain_weights=domain_weights,
                     save_dir=args.sweep_dir, arch=args.arch,
-                    eval_freq=args.eval_freq, resume=args.sweep_resume)
+                    eval_freq=args.eval_freq, resume=args.sweep_resume,
+                    store_dtype=(args.store_dtype
+                                 if args.store_dtype != 'float32'
+                                 else None))
     for row in out["results"]:
         print(json.dumps(row), flush=True)
     print(json.dumps({"members": len(members),

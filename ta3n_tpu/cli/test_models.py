@@ -76,9 +76,11 @@ def build_parser():
                              'shards of <= this many rows (device_store '
                              'only; 0 = fully resident)')
     parser.add_argument('--store_dtype', type=str, default='float32',
-                        choices=['float32', 'bfloat16'],
+                        choices=['float32', 'bfloat16', 'int8'],
                         help='HBM store dtype (device_store only); '
-                             'bfloat16 halves residency + gather bytes')
+                             'bfloat16 halves residency + gather '
+                             'bytes, int8 quarters them (per-row '
+                             'quantization, dequantized on device)')
     parser.add_argument('--data_parallel', default=False,
                         action='store_true',
                         help='shard each eval batch over all local devices '
@@ -202,9 +204,13 @@ def main(argv=None):
                                  sharding=rep)
         else:
             arr = np.ascontiguousarray(store.features)
-            if s_dtype is not None and arr.dtype != s_dtype:
-                arr = arr.astype(s_dtype)
-            store_dev = jax.device_put(arr, rep)
+            if s_dtype == np.int8:
+                from ta3n_tpu.data.quantized import quantize_rows
+                store_dev = jax.device_put(quantize_rows(arr), rep)
+            else:
+                if s_dtype is not None and arr.dtype != s_dtype:
+                    arr = arr.astype(s_dtype)
+                store_dev = jax.device_put(arr, rep)
     else:
         if mesh is not None:
             from ta3n_tpu.parallel.mesh import batch_sharding

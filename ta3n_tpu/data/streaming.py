@@ -16,8 +16,9 @@ the dataset at device memory.  This module removes the cap:
   one asynchronously (jax.device_put dispatches without blocking), so
   the host->HBM copy of shard k+1 overlaps the compute of shard k.
 
-Peak device residency is 2 * budget_rows * feature_dim * 4 bytes
-(current + prefetched shard); pick budget accordingly.
+Peak device residency is 2 * budget_rows * feature_dim * bytes/elem
+(current + prefetched shard; 4 bytes f32, 2 bf16, ~1 int8 via
+data/quantized.py); pick budget accordingly.
 
 Equivalence contract (tested in tests/test_streaming_store.py): training
 on the shard-local batch sequence through ShardStream produces BITWISE
@@ -111,6 +112,12 @@ class ShardStream:
     def _put(self, sid: int):
         import jax
         arr = self.plan.shard_array(self.features, sid)
+        if self.dtype is not None and np.dtype(self.dtype) == np.int8:
+            # per-row quantization commutes with shard slicing/padding,
+            # so per-shard quantized uploads stay bitwise-equal to a
+            # resident quantized store (data/quantized.py)
+            from ta3n_tpu.data.quantized import quantize_rows
+            return jax.device_put(quantize_rows(arr), self.sharding)
         if self.dtype is not None and arr.dtype != self.dtype:
             arr = arr.astype(self.dtype)
         return jax.device_put(arr, self.sharding)

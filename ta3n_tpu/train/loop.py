@@ -261,10 +261,13 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cw,
                                         gather_on_device=device_store,
                                         mesh=self.mesh)
-        # device stores may live in HBM at a narrower dtype (bfloat16):
-        # halves residency + per-step gather bytes; the model casts
-        # gathered rows to compute_dtype, and the first GEMM runs in bf16
-        # on the MXU either way.  None/float32 keeps exact f32 rows.
+        # device stores may live in HBM at a narrower dtype: bfloat16
+        # halves residency + per-step gather bytes (the model casts
+        # gathered rows to compute_dtype and the first GEMM runs in
+        # bf16 on the MXU either way); int8 quarters them via per-row
+        # symmetric quantization (data/quantized.py — the store becomes
+        # a (q, scale) pair dequantized on device in device_gather).
+        # None/float32 keeps exact f32 rows.
         self._store_dtype = (jnp.dtype(store_dtype)
                              if store_dtype not in (None, "") else None)
         self.streaming = False
@@ -288,6 +291,10 @@ class Trainer:
             # collapses to index arithmetic
             def put_store(store):
                 arr = np.ascontiguousarray(store.features)
+                if self._store_dtype == np.int8:
+                    from ta3n_tpu.data.quantized import quantize_rows
+                    return jax.device_put(quantize_rows(arr),
+                                          store_sharding)
                 if (self._store_dtype is not None
                         and arr.dtype != self._store_dtype):
                     arr = arr.astype(self._store_dtype)

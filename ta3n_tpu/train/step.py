@@ -309,13 +309,21 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
     return loss
 
 
-def device_gather(store: jax.Array, abs_idx: jax.Array) -> jax.Array:
+def device_gather(store, abs_idx: jax.Array) -> jax.Array:
     """On-device row gather from an HBM-resident packed store.
 
-    store: [total_rows, D] or [total_rows, streams, D] (Flow);
+    store: [total_rows, D] or [total_rows, streams, D] (Flow), or an
+    int8 ``(q, scale)`` pair (data/quantized.py) whose gathered rows
+    are dequantized to float32 on device;
     abs_idx: [B, T] -> [B, T(*streams), D].
     """
-    x = store[abs_idx]
+    if isinstance(store, (tuple, list)):
+        q, scale = store
+        x = q[abs_idx].astype(scale.dtype)
+        x = x * scale[abs_idx].reshape(abs_idx.shape
+                                       + (1,) * (q.ndim - 1))
+    else:
+        x = store[abs_idx]
     if x.ndim == 4:  # interleave streams (dataset.py:62-66 semantics)
         b, t, s, d = x.shape
         x = x.reshape(b, t * s, d)
@@ -592,6 +600,11 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
 
         def _combined_gather_run(state, store, idx_s, ys, mask_s, idx_t,
                                  yt, mask_t, scalars, rng):
+            if isinstance(store, (tuple, list)):
+                raise TypeError(
+                    "combined_store_rows does not support int8 "
+                    "(q, scale) stores; use the default two-gather "
+                    "path with --store_dtype int8")
             bs, bt = idx_s.shape[0], idx_t.shape[0]
             all_idx = jnp.concatenate(
                 [idx_s.reshape(-1), idx_t.reshape(-1) + off])

@@ -131,7 +131,7 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
               class_weights=None, domain_weights=None,
               save_dir: Optional[str] = None, arch: str = "none",
               eval_freq: int = 0, resume: bool = False,
-              log=print) -> dict:
+              store_dtype: Optional[str] = None, log=print) -> dict:
     """Train every (seed, lr, alpha) member and return
     {"results": [{member, seed, lr, alpha, top1, checkpoint?}, ...],
     "train_wall_s": float}.
@@ -239,10 +239,22 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                                      class_weights, domain_weights,
                                      mesh=mesh)
     total_steps = spe * train_cfg.epochs
-    store_s = jax.device_put(
-        np.ascontiguousarray(source_loader.store.features))
-    store_t = jax.device_put(
-        np.ascontiguousarray(target_loader.store.features))
+
+    def _put_store(feats):
+        # same --store_dtype semantics as the Trainer (loop.py): bf16
+        # halves HBM residency, int8 quarters it via per-row (q, scale)
+        # quantization dequantized on device (data/quantized.py); one
+        # copy serves every member either way
+        arr = np.ascontiguousarray(feats)
+        if store_dtype and np.dtype(store_dtype) == np.int8:
+            from ta3n_tpu.data.quantized import quantize_rows
+            return jax.device_put(quantize_rows(arr))
+        if store_dtype and arr.dtype != np.dtype(store_dtype):
+            arr = arr.astype(store_dtype)
+        return jax.device_put(arr)
+
+    store_s = _put_store(source_loader.store.features)
+    store_t = _put_store(target_loader.store.features)
 
     # vmapped validation, reused by the periodic and final passes:
     # every member scores the val split together, and the deep-ensemble
@@ -259,8 +271,7 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         if not _ev:
             _ev["step"] = make_ensemble_eval_step(
                 model, class_weights, gather_on_device=True, mesh=mesh)
-            _ev["store"] = jax.device_put(
-                np.ascontiguousarray(val_loader.store.features))
+            _ev["store"] = _put_store(val_loader.store.features)
         ev, store_v = _ev["step"], _ev["store"]
         hits = np.zeros(len(members))
         count = np.zeros(len(members))
