@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--device_sampler", action="store_true",
                     help="index pipeline on device (no host sampling)")
     ap.add_argument("--store_dtype", default=None,
-                    choices=[None, "float32", "bfloat16"],
+                    choices=[None, "float32", "bfloat16", "int8"],
                     help="HBM store dtype (device_store only)")
     ap.add_argument("--compilation_cache", type=str, default=None,
                     help="persistent XLA compile cache dir (isolates "

@@ -51,11 +51,23 @@ def build_step(k: int, compute_dtype: str, store_dtype: str = "float32",
         combined_store_rows=20000 if combined else None)
 
     g = np.random.default_rng(0)
-    sdt = jnp.dtype(store_dtype)
-    store_s = jax.device_put(jnp.asarray(
-        g.normal(size=(20000, FDIM)).astype(np.float32), dtype=sdt))
-    store_t = jax.device_put(jnp.asarray(
-        g.normal(size=(12000, FDIM)).astype(np.float32), dtype=sdt))
+    if np.dtype(store_dtype) == np.int8:
+        from ta3n_tpu.data.quantized import quantize_rows
+
+        def put_store(rows):
+            q, s = quantize_rows(rows)
+            return (jax.device_put(jnp.asarray(q)),
+                    jax.device_put(jnp.asarray(s)))
+        store_s = put_store(
+            g.normal(size=(20000, FDIM)).astype(np.float32))
+        store_t = put_store(
+            g.normal(size=(12000, FDIM)).astype(np.float32))
+    else:
+        sdt = jnp.dtype(store_dtype)
+        store_s = jax.device_put(jnp.asarray(
+            g.normal(size=(20000, FDIM)).astype(np.float32), dtype=sdt))
+        store_t = jax.device_put(jnp.asarray(
+            g.normal(size=(12000, FDIM)).astype(np.float32), dtype=sdt))
     idx_s = g.integers(0, 20000, size=(k, bs, SEG)).astype(np.int32)
     ys = g.integers(0, NCLASS, size=(k, bs)).astype(np.int32)
     ms = np.ones((k, bs), np.float32)
