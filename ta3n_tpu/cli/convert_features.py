@@ -49,10 +49,16 @@ def convert(list_file: str, out_dir: str, modality: str = "RGB",
                 per_frame.append(np.stack([x, y]))
             else:
                 raise ValueError(f"unknown modality {modality}")
-        feats.append(np.asarray(per_frame, dtype=dtype))
+        feats.append(np.asarray(per_frame,
+                                dtype="float32" if dtype == "int8"
+                                else dtype))
         paths.append(rec.path)
         labels.append(rec.label)
     store = FeatureStore.from_arrays(feats, paths, labels)
+    if dtype == "int8":
+        # per-row symmetric quantization (data/quantized.py): 4x
+        # smaller on disk/RAM/upload; gathers dequantize transparently
+        store = store.quantize()
     store.save(out_dir)
     return store
 
@@ -65,7 +71,12 @@ def main(argv=None):
     p.add_argument("--image_tmpl", default="img_{:05d}.t7")
     p.add_argument("--flow_prefix", default="")
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "float16"])
+                   choices=["float32", "float16", "int8"],
+                   help="int8 writes a per-row-quantized store "
+                        "(features.npy int8 + scales.npy): 4x smaller "
+                        "on disk, in host RAM, and per host->HBM "
+                        "upload; training/eval dequantize "
+                        "transparently")
     args = p.parse_args(argv)
     store = convert(args.list_file, args.out_dir, args.modality,
                     args.image_tmpl, args.flow_prefix, args.dtype)

@@ -201,7 +201,11 @@ def main(argv=None):
             from ta3n_tpu.data.streaming import ShardPlan, ShardStream
             plan = ShardPlan(store.offsets, args.store_budget_rows)
             stream = ShardStream(store.features, plan, dtype=s_dtype,
-                                 sharding=rep)
+                                 sharding=rep, scales=store.scales)
+        elif store.quantized:  # disk-quantized: ship (q, scale) as-is
+            store_dev = jax.device_put(
+                (np.ascontiguousarray(store.features),
+                 np.ascontiguousarray(store.scales)), rep)
         else:
             arr = np.ascontiguousarray(store.features)
             if s_dtype == np.int8:

@@ -13,6 +13,13 @@ Layout on disk (directory):
                     "num_streams": 1|2}
 Flow modality stores x/y stream features interleaved per frame:
     features.npy   [total_frames, 2, D]
+
+Quantized stores (``store.quantize()`` / converter ``--dtype int8``)
+additionally hold ``scales.npy`` [total_frames] float32 and keep
+``features.npy`` as int8 (data/quantized.py): 4x smaller on disk and
+in host RAM, 4x fewer host->HBM upload bytes; host gathers dequantize
+transparently, device paths upload the (q, scale) pair and dequantize
+inside the gather (train/step.py::device_gather).
 """
 
 from __future__ import annotations
@@ -30,12 +37,14 @@ __all__ = ["FeatureStore"]
 
 class FeatureStore:
     def __init__(self, features: np.ndarray, offsets: np.ndarray,
-                 paths: Sequence[str], labels: Sequence[int]):
+                 paths: Sequence[str], labels: Sequence[int],
+                 scales: np.ndarray = None):
         assert offsets.shape[0] == len(paths) + 1
         self.features = features
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self.paths = list(paths)
         self.labels = np.asarray(labels, dtype=np.int64)
+        self.scales = scales  # [total_frames] f32 iff int8-quantized
         self._path_index = {p: i for i, p in enumerate(self.paths)}
 
     # ---- properties ----
@@ -50,6 +59,20 @@ class FeatureStore:
     @property
     def num_streams(self) -> int:
         return self.features.shape[1] if self.features.ndim == 3 else 1
+
+    @property
+    def quantized(self) -> bool:
+        return self.scales is not None
+
+    def quantize(self) -> "FeatureStore":
+        """Int8-quantized copy (per-row symmetric, data/quantized.py):
+        4x smaller rows; gathers dequantize transparently."""
+        if self.quantized:
+            return self
+        from ta3n_tpu.data.quantized import quantize_rows
+        q, s = quantize_rows(np.asarray(self.features))
+        return FeatureStore(q, self.offsets, self.paths, self.labels,
+                            scales=s)
 
     def num_frames(self, video_idx: np.ndarray) -> np.ndarray:
         video_idx = np.asarray(video_idx)
@@ -78,16 +101,22 @@ class FeatureStore:
         """
         video_idx = np.asarray(video_idx)
         frame_idx = np.asarray(frame_idx)
-        out = None
+        rows = None
         if self.use_native_gather:
             from ta3n_tpu.data.native_gather import native_gather
-            got = native_gather(self.features, self.offsets, video_idx,
-                                frame_idx)
-            if got is not None:
-                out = np.asarray(got, dtype=dtype)
-        if out is None:
+            rows = native_gather(self.features, self.offsets, video_idx,
+                                 frame_idx)  # row memcpy, dtype-agnostic
+        if rows is None:
             abs_idx = self.offsets[video_idx][:, None] + frame_idx
-            out = np.asarray(self.features[abs_idx], dtype=dtype)
+            rows = self.features[abs_idx]
+        if self.quantized:
+            # same cast-then-multiply order as the on-device dequant
+            # (device_gather) and dequantize_rows — bitwise-identical
+            abs_idx = self.offsets[video_idx][:, None] + frame_idx
+            s = np.asarray(self.scales[abs_idx], np.float32)
+            rows = rows.astype(np.float32) * s.reshape(
+                s.shape + (1,) * (rows.ndim - 2))
+        out = np.asarray(rows, dtype=dtype)
         if out.ndim == 4:  # [B, T, streams, D] -> [B, T*streams, D]
             b, t, s, d = out.shape
             out = out.reshape(b, t * s, d)
@@ -98,12 +127,16 @@ class FeatureStore:
         os.makedirs(directory, exist_ok=True)
         np.save(os.path.join(directory, "features.npy"), self.features)
         np.save(os.path.join(directory, "offsets.npy"), self.offsets)
+        if self.quantized:
+            np.save(os.path.join(directory, "scales.npy"), self.scales)
         meta = {
             "paths": self.paths,
             "labels": self.labels.tolist(),
             "feature_dim": int(self.feature_dim),
             "num_streams": int(self.num_streams),
         }
+        if self.quantized:
+            meta["store_dtype"] = "int8"
         with open(os.path.join(directory, "meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -112,9 +145,13 @@ class FeatureStore:
         features = np.load(os.path.join(directory, "features.npy"),
                            mmap_mode="r" if mmap else None)
         offsets = np.load(os.path.join(directory, "offsets.npy"))
+        scales_path = os.path.join(directory, "scales.npy")
+        scales = (np.load(scales_path) if os.path.exists(scales_path)
+                  else None)
         with open(os.path.join(directory, "meta.json")) as f:
             meta = json.load(f)
-        return cls(features, offsets, meta["paths"], meta["labels"])
+        return cls(features, offsets, meta["paths"], meta["labels"],
+                   scales=scales)
 
     # ---- construction ----
     @classmethod
@@ -130,6 +167,11 @@ class FeatureStore:
     def subset(self, indices: Sequence[int]) -> "FeatureStore":
         feats = [self.features[self.offsets[i]:self.offsets[i + 1]]
                  for i in indices]
-        return FeatureStore.from_arrays(
+        sub = FeatureStore.from_arrays(
             feats, [self.paths[i] for i in indices],
             [int(self.labels[i]) for i in indices])
+        if self.quantized:
+            sub.scales = np.concatenate(
+                [self.scales[self.offsets[i]:self.offsets[i + 1]]
+                 for i in indices])
+        return sub

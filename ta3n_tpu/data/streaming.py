@@ -100,11 +100,13 @@ class ShardStream:
     """
 
     def __init__(self, features: np.ndarray, plan: ShardPlan,
-                 sharding=None, dtype=None, prefetch: bool = True):
+                 sharding=None, dtype=None, prefetch: bool = True,
+                 scales: Optional[np.ndarray] = None):
         self.features = features
         self.plan = plan
         self.sharding = sharding
         self.dtype = dtype  # None: keep the store dtype (resident parity)
+        self.scales = scales  # disk-quantized store: per-row f32 scales
         self.prefetch = prefetch
         self._current: Optional[tuple] = None
         self._next: dict = {}
@@ -112,6 +114,12 @@ class ShardStream:
     def _put(self, sid: int):
         import jax
         arr = self.plan.shard_array(self.features, sid)
+        if self.scales is not None:
+            # already-quantized rows: shard the scale vector alongside
+            # (padding scales are 0 -> padded rows dequantize to zeros)
+            return jax.device_put(
+                (arr, self.plan.shard_array(self.scales, sid)),
+                self.sharding)
         if self.dtype is not None and np.dtype(self.dtype) == np.int8:
             # per-row quantization commutes with shard slicing/padding,
             # so per-shard quantized uploads stay bitwise-equal to a

@@ -282,7 +282,8 @@ class Trainer:
                 plan = ShardPlan(loader.store.offsets, store_budget_rows)
                 return plan, ShardStream(loader.store.features, plan,
                                          store_sharding,
-                                         dtype=self._store_dtype)
+                                         dtype=self._store_dtype,
+                                         scales=loader.store.scales)
             self._plan_s, self._stream_s = plan_stream(source_loader)
             self._plan_t, self._stream_t = plan_stream(target_loader)
             self._plan_v, self._stream_v = plan_stream(val_loader)
@@ -290,6 +291,14 @@ class Trainer:
             # HBM-resident packed stores: uploaded ONCE; per-step host work
             # collapses to index arithmetic
             def put_store(store):
+                if store.quantized:
+                    # disk-quantized store: ship the int8 (q, scale)
+                    # pair as-is (4x fewer upload bytes); --store_dtype
+                    # is moot, rows are already quantized
+                    return jax.device_put(
+                        (np.ascontiguousarray(store.features),
+                         np.ascontiguousarray(store.scales)),
+                        store_sharding)
                 arr = np.ascontiguousarray(store.features)
                 if self._store_dtype == np.int8:
                     from ta3n_tpu.data.quantized import quantize_rows

@@ -240,12 +240,17 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
                                      mesh=mesh)
     total_steps = spe * train_cfg.epochs
 
-    def _put_store(feats):
+    def _put_store(store):
         # same --store_dtype semantics as the Trainer (loop.py): bf16
         # halves HBM residency, int8 quarters it via per-row (q, scale)
         # quantization dequantized on device (data/quantized.py); one
-        # copy serves every member either way
-        arr = np.ascontiguousarray(feats)
+        # copy serves every member either way.  Disk-quantized stores
+        # ship their (q, scale) pair as-is.
+        if store.quantized:
+            return jax.device_put(
+                (np.ascontiguousarray(store.features),
+                 np.ascontiguousarray(store.scales)))
+        arr = np.ascontiguousarray(store.features)
         if store_dtype and np.dtype(store_dtype) == np.int8:
             from ta3n_tpu.data.quantized import quantize_rows
             return jax.device_put(quantize_rows(arr))
@@ -253,8 +258,8 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
             arr = arr.astype(store_dtype)
         return jax.device_put(arr)
 
-    store_s = _put_store(source_loader.store.features)
-    store_t = _put_store(target_loader.store.features)
+    store_s = _put_store(source_loader.store)
+    store_t = _put_store(target_loader.store)
 
     # vmapped validation, reused by the periodic and final passes:
     # every member scores the val split together, and the deep-ensemble
@@ -271,7 +276,7 @@ def run_sweep(model_cfg, da_cfg, train_cfg, source_loader, target_loader,
         if not _ev:
             _ev["step"] = make_ensemble_eval_step(
                 model, class_weights, gather_on_device=True, mesh=mesh)
-            _ev["store"] = _put_store(val_loader.store.features)
+            _ev["store"] = _put_store(val_loader.store)
         ev, store_v = _ev["step"], _ev["store"]
         hits = np.zeros(len(members))
         count = np.zeros(len(members))

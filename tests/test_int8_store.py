@@ -187,6 +187,90 @@ def test_trainer_int8_device_store_end_to_end(tmp_path):
     assert np.isfinite(best) and best >= 0.0
 
 
+def test_disk_quantized_store_roundtrip(tmp_path):
+    """store.quantize() + save/load: int8 features + scales persist;
+    host gathers dequantize transparently and bitwise-match the manual
+    dequant; subset carries scales."""
+    import os
+    from ta3n_tpu.data import FeatureStore
+    src, _, _ = make_domain_pair(num_source=20, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    qs = src.quantize()
+    assert qs.quantized and qs.features.dtype == np.int8
+    assert qs.quantize() is qs  # idempotent
+    d = str(tmp_path / "qstore")
+    qs.save(d)
+    # 4x smaller rows on disk
+    assert (os.path.getsize(os.path.join(d, "features.npy"))
+            < src.features.nbytes // 3)
+    loaded = FeatureStore.load(d)
+    assert loaded.quantized
+    vids = np.array([0, 3, 5])
+    frames = np.array([[0, 1, 2]] * 3)
+    got = loaded.gather(vids, frames)
+    deq = dequantize_rows(np.asarray(loaded.features),
+                          np.asarray(loaded.scales))
+    abs_idx = loaded.offsets[vids][:, None] + frames
+    np.testing.assert_array_equal(got, deq[abs_idx])
+    sub = loaded.subset([1, 4])
+    assert sub.quantized
+    np.testing.assert_array_equal(
+        sub.gather(np.array([0]), frames[:1]),
+        loaded.gather(np.array([1]), frames[:1]))
+
+
+def test_disk_quantized_host_batches_bitwise_match_device_gather():
+    src, _, _ = make_domain_pair(num_source=20, num_target=8, num_val=8,
+                                 num_class=3, feature_dim=FDIM)
+    qs = src.quantize()
+    l_host = TSNLoader(qs, batch_size=6, num_segments=SEG, mode="test",
+                       seed=5)
+    l_idx = TSNLoader(qs, batch_size=6, num_segments=SEG, mode="test",
+                      seed=5)
+    store_dev = (jnp.asarray(np.ascontiguousarray(qs.features)),
+                 jnp.asarray(np.ascontiguousarray(qs.scales)))
+    for b_host, b_idx in zip(l_host.epoch(), l_idx.index_epoch()):
+        got = np.asarray(device_gather(store_dev, b_idx.abs_indices))
+        got = got * b_idx.mask[:, None, None]
+        np.testing.assert_array_equal(got, b_host.features)
+
+
+def test_trainer_disk_quantized_store_resident_and_streaming(tmp_path):
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=12, num_class=3,
+                                     feature_dim=FDIM, shift=0.8)
+    src, tgt, val = src.quantize(), tgt.quantize(), val.quantize()
+    cfg = ModelConfig(num_class=3, baseline_type="video",
+                      frame_aggregation="avgpool", train_segments=SEG,
+                      val_segments=SEG, fc_dim=16, feature_dim=FDIM,
+                      dropout_i=0.1, dropout_v=0.1)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad")
+    tc = TrainConfig(lr=0.05, epochs=2, batch_size=(8, 6, 8),
+                     beta=(0.5, 0.5, 0.5))
+
+    def loaders():
+        return (TSNLoader(src, batch_size=8, num_segments=SEG,
+                          mode="test", seed=1),
+                TSNLoader(tgt, batch_size=6, num_segments=SEG,
+                          mode="test", seed=2),
+                TSNLoader(val, batch_size=8, num_segments=SEG,
+                          mode="test", shuffle=False))
+
+    tr = Trainer(cfg, da, tc, *loaders(), path_exp=str(tmp_path) + "/a/",
+                 use_mesh=True, device_store=True, eval_freq=1,
+                 print_freq=1, show_freq=100)
+    # upload was the already-quantized (q, scale) pair
+    assert is_quantized(tr._dev_store_s)
+    assert np.asarray(tr._dev_store_s[0]).dtype == np.int8
+    assert np.isfinite(tr.fit())
+
+    tr2 = Trainer(cfg, da, tc, *loaders(), path_exp=str(tmp_path) + "/b/",
+                  use_mesh=True, device_store=True, store_budget_rows=60,
+                  eval_freq=1, print_freq=1, show_freq=100)
+    assert tr2.streaming
+    assert np.isfinite(tr2.fit())
+
+
 def test_sweep_int8_store_bitwise_matches_dequantized():
     """run_sweep(store_dtype='int8') == run_sweep on pre-dequantized
     stores, member by member (the sweep CLI's --store_dtype path)."""
