@@ -28,6 +28,11 @@ def build_parser():
     p.add_argument("--use_attn_frame", default="none")
     p.add_argument("--use_bn", default="none")
     p.add_argument("--share_params", default="Y")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8: W8A8 dynamically-quantized inference on the "
+                        "MXU's int8 path (per-channel weight / per-row "
+                        "activation scales; logits heads stay f32); baked "
+                        "into --export artifacts via meta.json")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--top_k", type=int, default=5)
     p.add_argument("--data_parallel", default=False, action="store_true",
@@ -72,7 +77,7 @@ def main(argv=None):
             dropout_i=0.0, dropout_v=0.0, add_fc=args.add_fc,
             fc_dim=args.fc_dim, use_attn=args.use_attn,
             use_attn_frame=args.use_attn_frame, use_bn=args.use_bn,
-            share_params=args.share_params)
+            share_params=args.share_params, quantize=args.quantize)
         if args.sweep_best and not Predictor.is_sweep(args.weights):
             raise SystemExit(
                 f"--sweep_best: {args.weights} is not a sweep output "

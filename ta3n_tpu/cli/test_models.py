@@ -81,6 +81,12 @@ def build_parser():
                              'bfloat16 halves residency + gather '
                              'bytes, int8 quarters them (per-row '
                              'quantization, dequantized on device)')
+    parser.add_argument('--quantize', type=str, default='none',
+                        choices=['none', 'int8'],
+                        help='int8: run MXU-sized GEMMs as W8A8 '
+                             'dynamically-quantized int8 dots (per-channel '
+                             'weight / per-row activation scales); logits '
+                             'heads stay f32')
     parser.add_argument('--data_parallel', default=False,
                         action='store_true',
                         help='shard each eval batch over all local devices '
@@ -109,7 +115,8 @@ def main(argv=None):
         n_rnn=args.n_rnn, rnn_cell=args.rnn_cell,
         n_directions=args.n_directions, n_ts=args.n_ts,
         use_attn=args.use_attn, n_attn=args.n_attn,
-        use_attn_frame=args.use_attn_frame, share_params=args.share_params)
+        use_attn_frame=args.use_attn_frame, share_params=args.share_params,
+        quantize=args.quantize)
     model = VideoModel(model_cfg)
 
     if os.path.isfile(args.weights):  # reference .pth.tar checkpoint

@@ -60,8 +60,17 @@ class ModelConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"        # bfloat16 for the fast path
+    # inference-only int8 quantization (W8A8 dynamic): MXU-sized dense
+    # GEMMs (both dims >= 128) run as int8 x int8 -> int32 dots with
+    # per-output-channel weight scales and per-row activation scales;
+    # small heads (num_class / 2-way domain logits) stay f32.  Training
+    # rejects it (round() has zero gradient) — see train/step.py.
+    quantize: str = "none"                # none | int8
 
     def __post_init__(self):
+        if self.quantize not in ("none", "int8"):
+            raise ValueError(f"unknown quantize mode {self.quantize!r}; "
+                             "expected 'none' or 'int8'")
         if self.add_fc < 1:
             raise ValueError("add at least one fc layer")  # models.py:137-138
         if self.baseline_type not in ("frame", "video", "tsn"):

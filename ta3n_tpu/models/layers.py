@@ -22,8 +22,95 @@ normal_001 = nn.initializers.normal(stddev=0.001)
 kaiming_normal = nn.initializers.he_normal()
 
 
-def dense(features: int, dtype=None, name: Optional[str] = None) -> nn.Dense:
-    """A Linear with the reference's init policy."""
+# int8 inference (ModelConfig.quantize='int8'): a dense GEMM is quantized
+# only when BOTH dims reach the MXU tile width — smaller GEMMs gain
+# nothing on the systolic array and the ones below this line are exactly
+# the logits heads (num_class / 2-way domain outputs), which stay f32 for
+# accuracy.
+_QUANT_MIN_DIM = 128
+
+
+def int8_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """W8A8 dynamically-quantized ``x @ kernel`` on the int8 MXU path.
+
+    Symmetric per-output-channel weight scales (max-abs/127 over the
+    input axis) and per-row activation scales (max-abs/127 over the last
+    axis), int8 x int8 -> int32 accumulation
+    (``preferred_element_type=int32`` maps onto the TPU MXU's native s8
+    mode), rescaled back to f32.  When the kernel is a trace-time
+    constant (serve.Predictor closes params over the jit) the weight
+    quantization const-folds at compile time — only the dynamic
+    activation quant runs per call.
+
+    x: [..., in_f]; kernel: [in_f, out_f] -> [..., out_f] float32.
+    """
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(kf), axis=0) / 127.0            # [out_f]
+    sw = jnp.where(sw > 0, sw, 1.0)
+    w8 = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.where(sx > 0, sx, 1.0)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * sw
+
+
+def int8_batched_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+    """W8A8 quantized ``einsum('bri,rio->bro', x, w)`` (stacked heads).
+
+    Per-(head, output-channel) weight scales, per-(row, head) activation
+    scales; same int8 MXU contraction as `int8_matmul`.
+    """
+    wf = w.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(wf), axis=1, keepdims=True) / 127.0   # [r,1,o]
+    sw = jnp.where(sw > 0, sw, 1.0)
+    w8 = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # [b,r,1]
+    sx = jnp.where(sx > 0, sx, 1.0)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("bri,rio->bro", x8, w8,
+                     preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * sw.transpose(1, 0, 2)
+
+
+class QuantDense(nn.Module):
+    """A `dense` layer computed on the int8 MXU path at inference.
+
+    Identical param layout/init to ``nn.Dense`` (`<name>/{kernel,bias}`,
+    weight normal(0.001), bias 0), so checkpoints and flax init streams
+    are bitwise those of `dense(...)`; only the matmul arithmetic
+    changes, and only when both dims reach `_QUANT_MIN_DIM`.
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", normal_001, (in_f, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if in_f >= _QUANT_MIN_DIM and self.features >= _QUANT_MIN_DIM:
+            y = int8_matmul(x, kernel) + bias.astype(jnp.float32)
+        else:  # logits heads: plain f32 math (nn.Dense semantics)
+            dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+            y = (x.astype(dt) @ kernel.astype(dt)) + bias.astype(dt)
+        return y.astype(self.dtype) if self.dtype is not None else y
+
+
+def dense(features: int, dtype=None, name: Optional[str] = None,
+          quantize: str = "none") -> nn.Module:
+    """A Linear with the reference's init policy.
+
+    ``quantize='int8'`` (ModelConfig.quantize, inference paths only)
+    swaps the arithmetic for the W8A8 int8 MXU path with the same params.
+    """
+    if quantize == "int8":
+        return QuantDense(features, dtype=dtype, name=name)
     return nn.Dense(features, kernel_init=normal_001,
                     bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 

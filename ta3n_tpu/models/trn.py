@@ -58,6 +58,7 @@ class RelationModule(nn.Module):
     num_bottleneck: int
     num_frames: int
     dtype: jnp.dtype = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -65,7 +66,8 @@ class RelationModule(nn.Module):
         b = x.shape[0]
         h = x.reshape(b, self.num_frames * self.img_feature_dim)
         h = nn.relu(h)
-        h = dense(self.num_bottleneck, dtype=self.dtype, name="fc_fusion")(h)
+        h = dense(self.num_bottleneck, dtype=self.dtype, name="fc_fusion",
+                  quantize=self.quantize)(h)
         h = nn.relu(h)
         return h[:, None, :]
 
@@ -88,9 +90,14 @@ class RelationModuleMultiScale(nn.Module):
     subsample_num: int = 3
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"   # "auto" | "never" | "always"
+    quantize: str = "none"     # int8: quantized XLA path (no Pallas)
 
     def _pallas_ok(self) -> bool:
         if _FORCE_XLA or self.use_pallas == "never":
+            return False
+        if self.quantize == "int8":
+            # the fused f32 kernel would bypass quantization; the XLA
+            # path below carries the int8 scale GEMMs
             return False
         if self.use_pallas == "always":
             return True
@@ -125,14 +132,20 @@ class RelationModuleMultiScale(nn.Module):
                 self.num_frames, self.subsample_num)
 
         # XLA path: one batched GEMM per scale
+        from ta3n_tpu.models.layers import _QUANT_MIN_DIM, int8_matmul
         outs = []
         for scale_id, (k, subsets) in enumerate(zip(plan.scales,
                                                     plan.subsets)):
             n_sel = subsets.shape[0]
             gathered = x[:, subsets.reshape(-1), :].reshape(b, n_sel, k * d)
-            z = jnp.einsum("bjf,fh->bjh", nn.relu(gathered).astype(self.dtype),
-                           weights[scale_id].astype(self.dtype),
-                           preferred_element_type=jnp.float32)
+            if (self.quantize == "int8" and k * d >= _QUANT_MIN_DIM
+                    and hdim >= _QUANT_MIN_DIM):
+                z = int8_matmul(nn.relu(gathered), weights[scale_id])
+            else:
+                z = jnp.einsum("bjf,fh->bjh",
+                               nn.relu(gathered).astype(self.dtype),
+                               weights[scale_id].astype(self.dtype),
+                               preferred_element_type=jnp.float32)
             z = nn.relu(z + biases[scale_id][None, None, :])
             outs.append(jnp.sum(z, axis=1))  # TRNmodule.py:79
         return jnp.stack(outs, axis=1).astype(self.dtype)

@@ -71,10 +71,12 @@ class VideoModel(nn.Module):
         Parity: the `share_params == 'N'` target variants
         (models.py:174-192,296-305).
         """
-        y_s = dense(features, dtype=self._dtype(), name=name_s)(x)
+        y_s = dense(features, dtype=self._dtype(), name=name_s,
+                    quantize=self.cfg.quantize)(x)
         if self.cfg.share_params == "Y":
             return y_s
-        y_t = dense(features, dtype=self._dtype(), name=name_t)(x)
+        y_t = dense(features, dtype=self._dtype(), name=name_t,
+                    quantize=self.cfg.quantize)(x)
         is_src = (jnp.arange(x.shape[0]) < n_source_rows)
         return jnp.where(is_src.reshape((-1,) + (1,) * (x.ndim - 1)), y_s, y_t)
 
@@ -179,7 +181,8 @@ class VideoModel(nn.Module):
 
         # ---- adversarial branch, frame level (models.py:456-462,605-610) ----
         h = grad_reverse(f, beta[2])
-        h = dense(cfg.shared_dim, dtype=dtype, name="fc_feature_domain")(h)
+        h = dense(cfg.shared_dim, dtype=dtype, name="fc_feature_domain",
+                  quantize=cfg.quantize)(h)
         h = nn.relu(h)
         pred_domain_frame = dense(2, dtype=dtype,
                                   name="fc_classifier_domain")(h)
@@ -226,11 +229,13 @@ class VideoModel(nn.Module):
             if cfg.frame_aggregation == "trn":
                 rel = RelationModule(cfg.shared_dim, cfg.num_bottleneck,
                                      num_segments, dtype=dtype,
+                                     quantize=cfg.quantize,
                                      name="TRN")(feat_seg)
             else:
                 rel = RelationModuleMultiScale(cfg.shared_dim,
                                                cfg.num_bottleneck,
                                                num_segments, dtype=dtype,
+                                               quantize=cfg.quantize,
                                                name="TRN")(
                     feat_seg, infer=not is_train)
             num_relation = rel.shape[1]
@@ -249,9 +254,16 @@ class VideoModel(nn.Module):
                                        name=f"relation_domain_fc2_{i}")(
                                cfg.aggregated_dim)
                            for i in range(num_relation)])
-            hi = nn.relu(jnp.einsum("bri,rio->bro", rel_rev.astype(dtype),
-                                    jnp.stack(w1).astype(dtype))
-                         + jnp.stack(b1).astype(dtype)[None])
+            from ta3n_tpu.models.layers import (_QUANT_MIN_DIM,
+                                                int8_batched_matmul)
+            if (cfg.quantize == "int8" and in_dim >= _QUANT_MIN_DIM
+                    and cfg.aggregated_dim >= _QUANT_MIN_DIM):
+                hi = nn.relu(int8_batched_matmul(rel_rev, jnp.stack(w1))
+                             + jnp.stack(b1).astype(jnp.float32)[None])
+            else:
+                hi = nn.relu(jnp.einsum("bri,rio->bro", rel_rev.astype(dtype),
+                                        jnp.stack(w1).astype(dtype))
+                             + jnp.stack(b1).astype(dtype)[None])
             pred_domain_relation = (
                 jnp.einsum("brh,rho->bro", hi,
                            jnp.stack(w2).astype(dtype))
@@ -307,7 +319,8 @@ class VideoModel(nn.Module):
         # ---- adversarial branch, video level (models.py:464-470,693-698) ----
         hv = grad_reverse(feat_video, beta[1])
         hv = dense(cfg.aggregated_dim, dtype=dtype,
-                   name="fc_feature_domain_video")(hv)
+                   name="fc_feature_domain_video",
+                   quantize=cfg.quantize)(hv)
         hv = nn.relu(hv)
         pred_domain_video = dense(2, dtype=dtype,
                                   name="fc_classifier_domain_video")(hv)

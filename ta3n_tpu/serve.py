@@ -10,6 +10,11 @@ and optionally expose it over HTTP for row-feature requests.
 
     python -m ta3n_tpu.cli.serve CLASS_FILE WEIGHTS --port 8500 ...
 
+int8 quantized inference: pass a ``ModelConfig`` with ``quantize='int8'``
+(CLI ``--quantize int8``) and every MXU-sized GEMM runs as a W8A8
+int8 x int8 -> int32 dot (models/layers.py); the setting rides the model
+config into AOT artifacts via meta.json.
+
 AOT deployment artifacts: ``Predictor.export(dir)`` serializes the whole
 predict function (weights baked in) as a multi-platform StableHLO module
 via ``jax.export`` plus a JSON sidecar with the model config, and

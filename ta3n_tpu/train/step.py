@@ -366,6 +366,13 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
     ICI), zero per-step host placement.
     """
     cfg = model.cfg
+    if cfg.quantize != "none":
+        # int8 quantization is inference-only: round() has zero gradient,
+        # so a quantized train step would silently learn nothing through
+        # every MXU-sized GEMM.  (Every step builder routes through here.)
+        raise ValueError(
+            f"ModelConfig.quantize={cfg.quantize!r} is inference-only "
+            "(eval CLI / serve.Predictor); train with quantize='none'")
     tx = _build_tx(train_cfg)
     use_bn = cfg.use_bn != "none"
     use_tgt = da.use_target != "none"

@@ -121,6 +121,25 @@ def test_eval_cli(workspace, trained):
     assert os.path.isfile(str(exp) + "/confusion-top[1, 2].txt")
 
 
+def test_eval_cli_quantize_flag(workspace, trained):
+    """--quantize int8 wires through to ModelConfig and runs.  At toy
+    dims (below the 128-dim MXU threshold) every GEMM falls back to f32,
+    so the output must EQUAL the unquantized run; the actual int8
+    numerics are covered at MXU dims by tests/test_int8_infer.py."""
+    from ta3n_tpu.cli.test_models import main
+    exp = workspace / "exp"
+    base = [
+        str(workspace / "class.txt"), "RGB",
+        str(workspace / "val" / "list.txt"),
+        str(exp) + "/RGB/model_best",
+        "--test_segments", "3", "--add_fc", "1", "--fc_dim", "16",
+        "--feature_dim", "16",
+        "--baseline_type", "video", "--frame_aggregation", "trn-m",
+        "--use_attn", "TransAttn", "--bS", "4", "--top", "1",
+    ]
+    assert main(base + ["--quantize", "int8"]) == main(base)
+
+
 def test_eval_cli_device_store(workspace, trained):
     from ta3n_tpu.cli.test_models import main
     exp = workspace / "exp"

@@ -1,0 +1,175 @@
+"""int8 quantized inference (`ModelConfig.quantize='int8'`).
+
+W8A8 dynamic quantization: MXU-sized dense GEMMs (both dims >= 128) run
+as int8 x int8 -> int32 dots with per-output-channel weight scales and
+per-row activation scales; logits heads stay f32.  Inference-only — the
+train-step builders reject it (round() has zero gradient).
+
+The reference has no quantized inference at all; this is a
+beating-not-matching capability (serving HBM/compute via the MXU's
+native s8 mode).
+"""
+
+import dataclasses
+import json
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ta3n_tpu.config import ModelConfig, TrainConfig
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.models.layers import int8_batched_matmul, int8_matmul
+from ta3n_tpu.serve import Predictor
+
+# MXU-sized dims so the quantized path actually activates
+CFG = ModelConfig(num_class=6, baseline_type="video",
+                  frame_aggregation="trn-m", train_segments=3,
+                  val_segments=3, feature_dim=256, fc_dim=256,
+                  dropout_i=0.0, dropout_v=0.0, use_attn="TransAttn")
+QCFG = dataclasses.replace(CFG, quantize="int8")
+
+
+@pytest.fixture(scope="module")
+def params():
+    m = VideoModel(CFG)
+    x = jnp.zeros((4, 3, 256), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, x, jnp.zeros(3),
+               jnp.asarray(0.0), False, False)
+    # the reference init is normal(0.001); scale matrices up to trained-
+    # network magnitudes so logits are meaningfully separated
+    return jax.tree_util.tree_map(
+        lambda a: a * 50.0 if a.ndim >= 2 else a, v["params"])
+
+
+def _probs(cfg, params, x):
+    m = VideoModel(cfg)
+    s, _ = m.apply({"params": params}, x, x, jnp.zeros(3),
+                   jnp.asarray(0.0), False, False)
+    return np.asarray(jax.nn.softmax(s.out, axis=-1))
+
+
+def test_int8_matmul_exact_on_grid():
+    """When weights/activations already sit exactly on their int8 grids,
+    the quantized matmul reproduces the f32 product exactly (validates
+    the scale/rescale math end-to-end)."""
+    rng = np.random.default_rng(0)
+    sw, sx = 0.5, 0.25
+    w = (rng.integers(-127, 128, size=(128, 128)) * sw).astype(np.float32)
+    w[0, :] = 127 * sw  # pin each column's max-abs to exactly 127*sw
+    x = (rng.integers(-127, 128, size=(4, 128)) * sx).astype(np.float32)
+    x[:, 0] = 127 * sx
+    got = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(w)))
+    want = x.astype(np.float64) @ w.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_int8_batched_matmul_matches_einsum():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 2, 128)).astype(np.float32)
+    w = rng.normal(size=(2, 128, 128)).astype(np.float32)
+    got = np.asarray(int8_batched_matmul(jnp.asarray(x), jnp.asarray(w)))
+    want = np.einsum("bri,rio->bro", x, w)
+    # dynamic-quant error bound: ~1/127 per operand
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 0.02, err
+
+
+def test_quantized_model_close_to_f32(params):
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 256), jnp.float32)
+    p32 = _probs(CFG, params, x)
+    p8 = _probs(QCFG, params, x)
+    assert (p32.argmax(-1) == p8.argmax(-1)).mean() == 1.0
+    assert np.abs(p32 - p8).max() < 0.05
+
+
+def test_quantized_trace_uses_int8_mxu_dots(params):
+    m = VideoModel(QCFG)
+    x = jnp.zeros((4, 3, 256), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, xx: m.apply({"params": p}, xx, xx, jnp.zeros(3),
+                              jnp.asarray(0.0), False, False)[0].out)(
+        params, x))
+    # shared FC, frame/video domain FCs, 2 TRN scale GEMMs, relation fc1
+    n_int8 = len(re.findall(r"i8\[", jaxpr))
+    assert n_int8 >= 12, n_int8  # >= 6 GEMMs x (weight + activation)
+    # and the f32 trace has none
+    jaxpr32 = str(jax.make_jaxpr(
+        lambda p, xx: VideoModel(CFG).apply(
+            {"params": p}, xx, xx, jnp.zeros(3), jnp.asarray(0.0),
+            False, False)[0].out)(params, x))
+    assert "i8[" not in jaxpr32
+
+
+def test_logits_heads_stay_f32(params):
+    """The classifier / 2-way domain logits heads are below the quant
+    threshold by design: their kernels must never be converted to int8."""
+    m = VideoModel(QCFG)
+    x = jnp.zeros((4, 3, 256), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda p, xx: m.apply({"params": p}, xx, xx, jnp.zeros(3),
+                              jnp.asarray(0.0), False, False)[0].out)(
+        params, x)
+    # num_class=6 and 2-way outputs: no int8 tensor may have 6 or 2 as
+    # its last dim
+    assert not re.search(r"i8\[\d+,(2|6)\]", str(jaxpr))
+
+
+def test_train_step_rejects_quantize():
+    from ta3n_tpu.config import DAConfig
+    from ta3n_tpu.train.step import make_train_step
+
+    with pytest.raises(ValueError, match="inference-only"):
+        make_train_step(VideoModel(QCFG), DAConfig(),
+                        TrainConfig(batch_size=(4, 4, 4)))
+
+
+def test_quantize_validation():
+    with pytest.raises(ValueError, match="quantize"):
+        dataclasses.replace(CFG, quantize="fp8")
+
+
+def test_pallas_disabled_under_quantize():
+    from ta3n_tpu.models.trn import RelationModuleMultiScale
+
+    mod = RelationModuleMultiScale(256, 256, 3, quantize="int8",
+                                   use_pallas="always")
+    assert not mod._pallas_ok()
+
+
+def test_quantized_ensemble_predictor(params, tmp_path):
+    """int8 inference composes with deep-ensemble serving: the vmapped
+    member pass over QuantDense equals the mean of solo quantized
+    predictors."""
+    p2 = jax.tree_util.tree_map(lambda a: a * 1.1, params)
+    stacked = jax.tree_util.tree_map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]), params, p2)
+    ens = Predictor(QCFG, stacked, n_members=2, batch_size=4, top_k=3)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (4, 3, 256)),
+                   np.float32)
+    probs = ens(x)[0]
+    solos = [Predictor(QCFG, p, batch_size=4, top_k=3)(x)[0]
+             for p in (params, p2)]
+    np.testing.assert_allclose(probs, np.mean(solos, axis=0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_and_export_roundtrip(params, tmp_path):
+    """A quantized Predictor serves, exports (quantize recorded in
+    meta.json), and the artifact reproduces the live predictor."""
+    live = Predictor(QCFG, jax.device_get(params), batch_size=4, top_k=3)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (4, 3, 256)),
+                   np.float32)
+    p_live, _, ti_live = live(x)
+    p32 = Predictor(CFG, jax.device_get(params), batch_size=4, top_k=3)(x)[0]
+    assert (p32.argmax(-1) == p_live.argmax(-1)).all()
+
+    out = live.export(str(tmp_path / "artifact"), platforms=("cpu",))
+    with open(str(tmp_path / "artifact/meta.json")) as f:
+        assert json.load(f)["model_cfg"]["quantize"] == "int8"
+    served = Predictor.from_exported(out)
+    p_art, _, ti_art = served(x)
+    np.testing.assert_allclose(p_art, p_live, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(ti_art, ti_live)
