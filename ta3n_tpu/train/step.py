@@ -518,12 +518,20 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         if mcd:
             variables2 = {"params": params}
             if use_bn:
-                variables2["batch_stats"] = batch_stats
+                # the reference's second (reverse) forward runs AFTER the
+                # first, so BN normalizes with the same batch stats but
+                # the RUNNING stats are updated a second time per step
+                # (main.py:547-549 re-enters models.py:545 in train mode)
+                variables2["batch_stats"] = new_stats
             res2 = model.apply(variables2, xs, xt, scalars.beta, scalars.mu,
                                True, True, rngs={"dropout": rng_mcd},
                                mutable=["batch_stats"] if use_bn else False,
                                combined_rows=rows)
-            (_, out_t_rev) = res2[0] if use_bn else res2
+            if use_bn:
+                (_, out_t_rev), mut2 = res2
+                new_stats = mut2["batch_stats"]
+            else:
+                _, out_t_rev = res2
             o1, _, m1 = _flatten_out(out_t_rev.out, yt, mask_t,
                                      cfg.baseline_type)
             o2, _, _ = _flatten_out(out_t_rev.out_2, yt, mask_t,

@@ -1,0 +1,198 @@
+"""Step-for-step training + eval parity vs the ACTUAL reference code.
+
+Unlike test_train_parity_torch.py / test_torch_import.py (fast,
+hand-built torch mirrors), the ground truth here is /root/reference's
+OWN code executing in-process (tests/ref_harness.py):
+
+  * models.py:545-722 — the real VideoModel forward,
+  * main.py:437-583  — the real train() loss assembly + SGD update,
+  * main.py:669-761  — the real validate(),
+
+at two configs: the published flagship (trn-m + TransAttn + RevGrad
+Y/Y/Y + attentive entropy) and an off-published corner (avgpool +
+AdaBN + MCD).  With dropout off everything is deterministic; per-step
+total losses must match to float32 accuracy and the post-training
+parameters (through the weight importer, both directions) must agree.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+from ta3n_tpu.io_utils.torch_import import import_torch_state_dict
+from ta3n_tpu.models import VideoModel
+from ta3n_tpu.train import StepScalars, TrainState, make_train_step
+from ta3n_tpu.train.step import _build_tx, make_eval_step
+
+from tests import ref_harness
+
+B_S, B_T, S, D, FC, C = 6, 4, 5, 24, 16, 6
+N_STEPS = 4
+LR = 0.03
+
+
+def _common_argv(extra):
+    return [
+        "--arch", "resnet101", "--num_segments", str(S),
+        "--val_segments", str(S), "--add_fc", "1", "--fc_dim", str(FC),
+        "--baseline_type", "video", "--dropout_i", "0", "--dropout_v", "0",
+        "--lr", str(LR), "--optimizer", "SGD", "--lr_adaptive", "none",
+        "-b", str(B_S), str(B_T), str(B_S), "-j", "0",
+        "-pf", "1000", "-sf", "1000", "--epochs", "30",
+    ] + extra
+
+
+FLAGSHIP_ARGV = _common_argv([
+    "--frame_aggregation", "trn-m", "--use_target", "uSv",
+    "--adv_DA", "RevGrad", "--place_adv", "Y", "Y", "Y",
+    "--use_attn", "TransAttn", "--add_loss_DA", "attentive_entropy",
+    "--beta", "0.75", "0.75", "0.5", "--gamma", "0.003",
+])
+
+MCD_ADABN_ARGV = _common_argv([
+    "--frame_aggregation", "avgpool", "--use_target", "uSv",
+    "--use_bn", "AdaBN", "--ens_DA", "MCD", "--mu", "0.5",
+    "--use_attn", "none",
+])
+
+
+def _our_configs(ref_args):
+    model_cfg = ModelConfig(
+        num_class=C, baseline_type=ref_args.baseline_type,
+        frame_aggregation=ref_args.frame_aggregation,
+        train_segments=S, val_segments=S, fc_dim=FC, feature_dim=D,
+        dropout_i=0.0, dropout_v=0.0,
+        use_bn=ref_args.use_bn, ens_DA=ref_args.ens_DA,
+        use_attn=ref_args.use_attn,
+        use_attn_frame=ref_args.use_attn_frame)
+    da_cfg = DAConfig(
+        use_target=ref_args.use_target, dis_DA=ref_args.dis_DA,
+        adv_DA=ref_args.adv_DA, add_loss_DA=ref_args.add_loss_DA,
+        ens_DA=ref_args.ens_DA, place_dis=tuple(ref_args.place_dis),
+        place_adv=tuple(ref_args.place_adv))
+    train_cfg = TrainConfig(
+        optimizer="SGD", lr=LR, batch_size=(B_S, B_T, B_S),
+        beta=tuple(float(b) for b in ref_args.beta),
+        gamma=float(ref_args.gamma), mu=float(ref_args.mu))
+    return model_cfg, da_cfg, train_cfg
+
+
+def _make_batches(seed):
+    rng = np.random.default_rng(seed)
+    src = ref_harness.make_batches(rng, N_STEPS, B_S, S, D, C)
+    tgt = ref_harness.make_batches(rng, N_STEPS, B_T, S, D, C)
+    val = ref_harness.make_batches(rng, 2, B_S, S, D, C)
+    return src, tgt, val
+
+
+def _our_train(ref_args, state_dict, src, tgt):
+    """Run OUR jitted train step on the reference-initialized weights
+    and the same batch sequence; returns (losses, params, stats)."""
+    model_cfg, da_cfg, train_cfg = _our_configs(ref_args)
+    model = VideoModel(model_cfg)
+    params, batch_stats = import_torch_state_dict(state_dict)
+    tx = _build_tx(train_cfg)
+    st = TrainState(params, batch_stats, tx.init(params),
+                    jnp.asarray(0, jnp.int32))
+    step = make_train_step(model, da_cfg, train_cfg)
+    sc = StepScalars(np.asarray(ref_args.beta, np.float32),
+                     np.float32(ref_args.mu), np.float32(0.0),
+                     np.float32(ref_args.gamma), np.float32(LR))
+    losses = []
+    for (xs, ys), (xt, yt) in zip(src, tgt):
+        st, m = step(st, xs.numpy(), ys.numpy().astype(np.int32),
+                     np.ones(B_S, np.float32), xt.numpy(),
+                     yt.numpy().astype(np.int32),
+                     np.ones(B_T, np.float32), sc, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+    return losses, st.params, st.batch_stats
+
+
+def _assert_trees_close(ours, ref, rtol, atol, what):
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(ours)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref)[0])
+    assert {k for k, _ in flat_o} == set(flat_r), f"{what}: key mismatch"
+    for path, v in flat_o:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[path]), rtol=rtol, atol=atol,
+            err_msg=f"{what}: {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("argv,seed", [(FLAGSHIP_ARGV, 0),
+                                       (MCD_ADABN_ARGV, 1)],
+                         ids=["flagship", "mcd_adabn"])
+def test_training_parity_vs_actual_reference(argv, seed):
+    """4 optimizer steps: per-step total losses (the exact scalars the
+    reference backprops, main.py:577) and the post-training parameter
+    (+BN stat) trees must match the reference's train() run."""
+    ref_harness.set_feature_dim(D)
+    args = ref_harness.make_args(argv)
+    dp = ref_harness.build_ref_model(args, C)
+    state0 = ref_harness.state_dict_numpy(dp)
+    src, tgt, _ = _make_batches(seed)
+
+    our_losses, our_params, our_stats = _our_train(args, state0, src, tgt)
+
+    ref_losses, _ = ref_harness.ref_train(args, dp, C, src, tgt)
+    assert len(ref_losses) == N_STEPS
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-4,
+                               err_msg="per-step total loss")
+
+    ref_params, ref_stats = import_torch_state_dict(
+        ref_harness.state_dict_numpy(dp))
+    _assert_trees_close(our_params, ref_params, rtol=1e-3, atol=2e-5,
+                        what="params after training")
+    if ref_stats:
+        _assert_trees_close(our_stats, ref_stats, rtol=1e-3, atol=2e-5,
+                            what="BN running stats after training")
+
+
+@pytest.mark.parametrize("argv", [FLAGSHIP_ARGV, MCD_ADABN_ARGV],
+                         ids=["flagship", "mcd_adabn"])
+def test_eval_parity_vs_actual_reference(argv):
+    """Eval logits vs the reference model's own forward (eval mode,
+    models.py:545-722) and top-1 vs the reference's validate()
+    (main.py:669-761), through the weight importer."""
+    ref_harness.set_feature_dim(D)
+    args = ref_harness.make_args(argv)
+    dp = ref_harness.build_ref_model(args, C)
+    state0 = ref_harness.state_dict_numpy(dp)
+    _, _, val = _make_batches(2)
+
+    model_cfg, da_cfg, train_cfg = _our_configs(args)
+    model = VideoModel(model_cfg)
+    params, batch_stats = import_torch_state_dict(state0)
+
+    # --- logits: reference eval forward on the first val batch ---
+    dp.eval()
+    x, y = val[0]
+    with torch.no_grad():
+        outs = dp(x, x, [0.0, 0.0, 0.0], 0.0, False, False)
+    ref_logits = outs[6].numpy()       # target-side output (validate's)
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    out_s, out_t = model.apply(variables, jnp.asarray(x.numpy()),
+                               jnp.asarray(x.numpy()), jnp.zeros(3),
+                               jnp.asarray(0.0), False, False)
+    np.testing.assert_allclose(np.asarray(out_t.out), ref_logits,
+                               rtol=1e-4, atol=1e-5)
+
+    # --- top-1: reference validate() vs our eval step over val ---
+    ref_top1 = ref_harness.ref_validate(args, dp, C, val)
+
+    eval_step = make_eval_step(model)
+    correct = n = 0.0
+    for xb, yb in val:
+        m = eval_step(params, batch_stats, xb.numpy(),
+                      yb.numpy().astype(np.int32),
+                      np.ones(len(yb), np.float32))
+        correct += float(m["top1"])
+        n += float(m["n"])
+    np.testing.assert_allclose(100.0 * correct / n, ref_top1, atol=1e-4)
