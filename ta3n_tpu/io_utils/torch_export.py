@@ -173,12 +173,64 @@ def _export_rnn(rnn: Dict[str, Any], out: Dict[str, np.ndarray]) -> None:
 
 
 def _synthesize_dead(out: Dict[str, np.ndarray]) -> None:
-    """Reference-constructed but forward-dead Linears (SURVEY §2.10):
-    strict load_state_dict needs them; shapes mirror live layers."""
+    """Reference-constructed but forward-dead modules (SURVEY §2.10):
+    strict load_state_dict needs every key (verified against the ACTUAL
+    /root/reference/test_models.py:85-90 loader in
+    tests/test_ref_checkpoint_interop.py); shapes mirror live layers.
+    Dead BNs carry fresh-init values (the reference never forwards
+    them, so a trained reference checkpoint holds init there too);
+    dead convs/Linears are zeroed (reference holds unused random init —
+    values are irrelevant, only key/shape presence matters)."""
     def dead_like(dead_name: str, like_weight: str):
         w = out[like_weight]
         out[f"{dead_name}.weight"] = np.zeros_like(w)
         out[f"{dead_name}.bias"] = np.zeros(w.shape[0], w.dtype)
+
+    def dead_bn(name: str, dim: int):
+        out[f"{name}.weight"] = np.ones(dim, np.float32)
+        out[f"{name}.bias"] = np.zeros(dim, np.float32)
+        out[f"{name}.running_mean"] = np.zeros(dim, np.float32)
+        out[f"{name}.running_var"] = np.ones(dim, np.float32)
+        out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def dead_conv(name: str, c_out: int, c_in: int, k: int):
+        out[f"{name}.weight"] = np.zeros((c_out, c_in, k, 1), np.float32)
+        out[f"{name}.bias"] = np.zeros(c_out, np.float32)
+
+    # trn/trn-m: bn_trn pair sized to the bottleneck (models.py:217-226)
+    trn_bias = out.get("TRN.classifier.1.bias",
+                       out.get("TRN.fc_fusion_scales.0.1.bias"))
+    if trn_bias is not None:
+        for s in ("S", "T"):
+            dead_bn(f"bn_trn_{s}", trn_bias.shape[0])
+
+    # rnn: BatchNorm2d(1) pair (models.py:214-215)
+    if "rnn.weight_ih_l0" in out:
+        dead_bn("bn_before_rnn", 1)
+        dead_bn("bn_after_rnn", 1)
+
+    # temconv: 2nd-stage TCLs + fusion + bn_2 pair (models.py:230-243);
+    # bn_1 pair is live only under use_bn (already exported then)
+    if "tcl_3_1.conv2d.weight" in out:
+        frame_dim = out["fc_classifier_source.weight"].shape[1]
+        dead_conv("tcl_5_1.conv2d", 1, 1, 5)
+        dead_conv("tcl_3_2.conv2d", 1, 1, 3)
+        dead_conv("tcl_5_2.conv2d", 2, 2, 5)
+        out["conv_fusion.0.weight"] = np.zeros((1, 2, 1, 1), np.float32)
+        out["conv_fusion.0.bias"] = np.zeros(1, np.float32)
+        for s in ("S", "T"):
+            dead_bn(f"bn_2_{s}", frame_dim)
+            if f"bn_1_{s}.weight" not in out:
+                dead_bn(f"bn_1_{s}", frame_dim)
+
+    # use_bn!=none: dead frame/video BN pairs (models.py:198-199,309-312)
+    if "bn_shared_S.weight" in out:
+        shared_dim = out["bn_shared_S.weight"].shape[0]
+        video_dim = out["fc_classifier_video_source.weight"].shape[1]
+        for s in ("S", "T"):
+            dead_bn(f"bn_source_{s}", shared_dim)
+            dead_bn(f"bn_source_video_{s}", video_dim)
+            dead_bn(f"bn_source_video_2_{s}", video_dim)
 
     share_n = "fc_classifier_target.weight" in out
     if "fc_feature_domain.weight" in out:

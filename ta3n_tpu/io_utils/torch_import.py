@@ -31,6 +31,13 @@ _DEAD_PREFIXES = (
     "tcl_3_2.", "tcl_5_1.", "tcl_5_2.", "conv_fusion.",
     "bn_2_S.", "bn_2_T.",
     "bn_before_rnn.", "bn_after_rnn.",
+    # use_bn!=none constructs these (models.py:198-199,309-312) but the
+    # forward only ever BN-aligns at 'shared' and 'temconv_1'
+    # (models.py:569-570,662-663) — dropping them keeps dead tensors out
+    # of the optimizer (torch skips grad-less params; optax would decay)
+    "bn_source_S.", "bn_source_T.",
+    "bn_source_video_S.", "bn_source_video_T.",
+    "bn_source_video_2_S.", "bn_source_video_2_T.",
 )
 
 _DENSE_DIRECT = [
@@ -45,10 +52,7 @@ _DENSE_DIRECT = [
     "fc_classifier_video_target", "fc_classifier_video_target_2",
 ]
 
-_BN_DIRECT = ["bn_shared_S", "bn_shared_T", "bn_source_S", "bn_source_T",
-              "bn_1_S", "bn_1_T",
-              "bn_source_video_S", "bn_source_video_T",
-              "bn_source_video_2_S", "bn_source_video_2_T"]
+_BN_DIRECT = ["bn_shared_S", "bn_shared_T", "bn_1_S", "bn_1_T"]
 
 
 def strip_module_prefix(state: Dict[str, Any]) -> Dict[str, Any]:
@@ -88,7 +92,17 @@ def import_torch_state_dict(state: Dict[str, Any]
         if wk in state:
             put_dense(name, take(wk), take(bk))
 
+    # bn_1_S/T are LIVE only under use_bn!=none (domainAlign 'temconv_1',
+    # models.py:662-663) — a temconv model built without use_bn still
+    # constructs them (models.py:232-233), dead; use_bn!=none is
+    # detectable by the always-live bn_shared pair
+    use_bn_live = "bn_shared_S.weight" in state
     for name in _BN_DIRECT:
+        if name in ("bn_1_S", "bn_1_T") and not use_bn_live:
+            for suffix in ("weight", "bias", "running_mean", "running_var",
+                           "num_batches_tracked"):
+                consumed.add(f"{name}.{suffix}")
+            continue
         wk = f"{name}.weight"
         if wk in state:
             params[name] = {"scale": _to_np(take(wk)),
