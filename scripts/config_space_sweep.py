@@ -91,6 +91,74 @@ def sample_combos(n: int, seed: int = 0):
     return combos
 
 
+def _effective_values(combo: dict):
+    """The (axis, value) pairs a RUN of this combo actually exercises.
+
+    Mirrors the reference's gating: with use_target='none' every DA
+    mechanism is off regardless of its flag (main.py:454,507,541,547 all
+    test use_target; configs_from_args zeroes use_bn/ens_DA the same
+    way), and attentive_entropy is a no-op without attention
+    (main.py:558 tests use_attn != 'none')."""
+    eff = set()
+    da_axes = ("dis_DA", "adv_DA", "add_loss_DA", "ens_DA", "use_bn")
+    for k in AXES:
+        v = combo[k]
+        if k in da_axes and combo["use_target"] == "none":
+            v = "none"
+        if (k == "add_loss_DA" and v == "attentive_entropy"
+                and combo["use_attn"] == "none"):
+            v = "none"
+        eff.add((k, v))
+    return eff
+
+
+def covering_combos(min_cover: int = 2):
+    """Deterministic greedy covering design: every EXECUTABLE categorical
+    value of every axis appears, effectively exercised, in at least
+    `min_cover` combos.  Excluded from execution coverage (still
+    trace-covered elsewhere): DotProduct (rejected by design) and
+    pred_normalize='Y' (reference-marked 'in construction'; explodes on
+    fresh-init logits, see execute_combo)."""
+    need = {(k, v): min_cover for k in AXES for v in AXES[k]
+            if v != "DotProduct"
+            and not (k == "pred_normalize" and v == "Y")}
+    da_axes = ("dis_DA", "adv_DA", "add_loss_DA", "ens_DA", "use_bn")
+
+    def neediest(axis, allowed=None):
+        vals = [v for v in (allowed or AXES[axis]) if (axis, v) in need]
+        return max(vals, key=lambda v: (need[(axis, v)], -AXES[axis].index(v)))
+
+    combos = []
+    while any(c > 0 for c in need.values()):
+        combo = {}
+        # pick use_target first: DA-axis values only count when it's on
+        da_pending = any(need[(k, v)] > 0 for k in da_axes
+                         for v in AXES[k] if v != "none"
+                         and (k, v) in need)
+        if da_pending:
+            combo["use_target"] = neediest("use_target", ("Sv", "uSv"))
+        else:
+            combo["use_target"] = neediest("use_target")
+        for k in AXES:
+            if k not in combo:
+                combo[k] = neediest(k)
+        # repairs for documented rejects / no-ops
+        if combo["dis_DA"] == "JAN" and combo["baseline_type"] == "tsn":
+            combo["baseline_type"] = neediest("baseline_type",
+                                              ("frame", "video"))
+        if (combo["add_loss_DA"] == "attentive_entropy"
+                and combo["use_attn"] == "none"):
+            combo["use_attn"] = neediest("use_attn",
+                                         ("TransAttn", "general"))
+        combos.append(combo)
+        for kv in _effective_values(combo):
+            if kv in need and need[kv] > 0:
+                need[kv] -= 1
+        if len(combos) > 60:  # the greedy must converge well before this
+            raise AssertionError("covering design failed to converge")
+    return combos
+
+
 def expected_error(combo: dict):
     """Return a substring of the documented ValueError for combinations
     that are rejected by design, or None if the combo must trace."""
@@ -153,8 +221,18 @@ def trace_combo(combo: dict) -> None:
 
 
 def execute_combo(combo: dict, n_steps: int = 2) -> None:
-    """Execute (not just trace) n_steps real optimizer steps for one
-    combo on synthetic data; assert the losses come back finite."""
+    """Execute (not just trace) n_steps real optimizer steps + one eval
+    step for one combo on synthetic data, asserting:
+
+      * every loss is finite,
+      * parameters actually move (non-zero update through the whole
+        optimizer chain),
+      * mask invariance: the last row of each stream is masked out and
+        its CONTENT (zeros vs garbage) must not change the loss, the
+        update, or the eval metrics — one compile covers both runs
+        since shapes are identical (the jit-level analogue of the
+        reference's dummy-row pad + removeDummy, main.py:358-372).
+    """
     import numpy as np
 
     place = ("Y",) * (combo["add_fc"] + 2)
@@ -186,15 +264,61 @@ def execute_combo(combo: dict, n_steps: int = 2) -> None:
     xt = g.normal(size=(BT, SEGMENTS, FDIM)).astype("float32")
     ys = g.integers(0, 4, size=BS).astype("int32")
     yt = g.integers(0, 4, size=BT).astype("int32")
+    # the last row of each stream is masked out; its content must not
+    # matter (zeros vs garbage variants run through ONE compiled step)
     ms = np.ones(BS, "float32")
     mt = np.ones(BT, "float32")
+    ms[-1] = mt[-1] = 0.0
+
+    def variant(fill):
+        xs_v, xt_v = xs.copy(), xt.copy()
+        xs_v[-1], xt_v[-1] = fill, fill
+        return xs_v, xt_v
+
+    xs_zero, xt_zero = variant(0.0)
+    xs_junk, xt_junk = variant(37.5)
+
     sc = StepScalars(jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
                      jnp.asarray(0.1), jnp.asarray(0.2), jnp.asarray(0.01),
                      jnp.asarray(0.05))
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+
+    state_junk = None
     for i in range(n_steps):
-        state, m = step(state, xs, ys, ms, xt, yt, mt, sc,
-                        jax.random.fold_in(rng, i))
+        r = jax.random.fold_in(rng, i)
+        if i == 0:  # masked-row-content invariance of the update
+            # the step donates its state buffers — give the variant
+            # call its own host-side copy so `state` stays alive
+            state_copy = jax.tree_util.tree_map(
+                lambda a: np.asarray(a).copy(), state)
+            state_junk, m_junk = step(state_copy, xs_junk, ys, ms,
+                                      xt_junk, yt, mt, sc, r)
+        state, m = step(state, xs_zero, ys, ms, xt_zero, yt, mt, sc, r)
         assert np.isfinite(float(m["loss"])), (combo, dict(m))
+        if i == 0:
+            assert float(m["loss"]) == float(m_junk["loss"]), \
+                (combo, "masked-row content leaked into the loss")
+            for pz, pj in zip(jax.tree_util.tree_leaves(state.params),
+                              jax.tree_util.tree_leaves(state_junk.params)):
+                np.testing.assert_array_equal(
+                    np.asarray(pz), np.asarray(pj),
+                    err_msg=f"{combo}: masked-row content leaked "
+                            "into the update")
+
+    # parameters moved through the whole clip->wd->nesterov chain
+    moved = sum(float(np.abs(np.asarray(a) - b).sum())
+                for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                                jax.tree_util.tree_leaves(params0)))
+    assert moved > 0.0, (combo, "no parameter movement after steps")
+
+    # eval step: finite + the same mask invariance (main.py:690-698)
+    ev = make_eval_step(model)
+    e_zero = ev(state.params, state.batch_stats, xs_zero, ys, ms)
+    e_junk = ev(state.params, state.batch_stats, xs_junk, ys, ms)
+    assert np.isfinite(float(e_zero["loss"])), combo
+    for k in ("loss", "top1", "top5", "n"):
+        assert float(e_zero[k]) == float(e_junk[k]), \
+            (combo, f"masked-row content leaked into eval {k}")
 
 
 def check_combo(combo: dict) -> None:

@@ -134,12 +134,17 @@ def mmd_linear(f_of_X: jax.Array, f_of_Y: jax.Array) -> jax.Array:
 
 def gaussian_kernel(source: jax.Array, target: jax.Array,
                     kernel_mul: float = 2.0, kernel_num: int = 5,
-                    fix_sigma: Optional[float] = None) -> jax.Array:
+                    fix_sigma: Optional[float] = None,
+                    mask_source: Optional[jax.Array] = None,
+                    mask_target: Optional[jax.Array] = None) -> jax.Array:
     """Multi-bandwidth RBF kernel matrix over the stacked [src; tgt] rows.
 
     Median-heuristic-ish bandwidth: mean pairwise L2^2 over off-diagonal
     count, divided/multiplied by powers of ``kernel_mul``
     (reference loss.py:46-59, including the 'guassian' behaviour).
+    With row masks the bandwidth statistic is computed over valid-row
+    pairs only; masked rows' kernel VALUES are still produced (static
+    shapes) and must be weighted out by the caller.
     """
     source = _as_2d(source)
     target = _as_2d(target)
@@ -150,6 +155,12 @@ def gaussian_kernel(source: jax.Array, target: jax.Array,
     l2 = jnp.maximum(l2, 0.0)
     if fix_sigma is not None:
         bandwidth = jnp.asarray(fix_sigma, dtype=total.dtype)
+    elif mask_source is not None:
+        m = jnp.concatenate([mask_source, mask_target]).astype(total.dtype)
+        w = m[:, None] * m[None, :]
+        n_eff = jnp.sum(m)
+        bandwidth = (jax.lax.stop_gradient(jnp.sum(l2 * w))
+                     / jnp.maximum(n_eff * n_eff - n_eff, 1.0))
     else:
         bandwidth = jax.lax.stop_gradient(jnp.sum(l2)) / (n * n - n)
     bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
@@ -158,9 +169,13 @@ def gaussian_kernel(source: jax.Array, target: jax.Array,
     return sum(vals)
 
 
-def _mmd_from_kernels(kernels: jax.Array, batch_size: int, ver: int
-                      ) -> jax.Array:
+def _mmd_from_kernels(kernels: jax.Array, batch_size: int, ver: int,
+                      mask_source: Optional[jax.Array] = None,
+                      mask_target: Optional[jax.Array] = None) -> jax.Array:
     if ver == 1:
+        if mask_source is not None:
+            raise ValueError("row masks are only supported for ver=2 "
+                             "(the train loop's variant, main.py:496-500)")
         idx = jnp.arange(batch_size)
         s1, s2 = idx, (idx + 1) % batch_size
         t1, t2 = s1 + batch_size, s2 + batch_size
@@ -172,34 +187,58 @@ def _mmd_from_kernels(kernels: jax.Array, batch_size: int, ver: int
         yy = kernels[batch_size:, batch_size:]
         xy = kernels[:batch_size, batch_size:]
         yx = kernels[batch_size:, :batch_size]
-        return jnp.mean(xx + yy - xy - yx)
+        if mask_source is None:
+            return jnp.mean(xx + yy - xy - yx)
+        # masked block means: the static-shape analogue of the
+        # reference stripping dummy rows before the loss (removeDummy,
+        # main.py:420-422 -> loss at main.py:496-500); with all-ones
+        # masks this equals the unmasked mean
+        ms = mask_source.astype(kernels.dtype)
+        mt = mask_target.astype(kernels.dtype)
+
+        def bmean(block, wr, wc):
+            w = wr[:, None] * wc[None, :]
+            return jnp.sum(block * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        return (bmean(xx, ms, ms) + bmean(yy, mt, mt)
+                - bmean(xy, ms, mt) - bmean(yx, mt, ms))
     raise ValueError("ver == 1 or 2")
 
 
 def mmd_rbf(source: jax.Array, target: jax.Array, kernel_mul: float = 2.0,
             kernel_num: int = 5, fix_sigma: Optional[float] = None,
-            ver: int = 2) -> jax.Array:
-    """RBF MMD (reference loss.py:61-83; DAN call site main.py:496-500)."""
+            ver: int = 2, mask_source: Optional[jax.Array] = None,
+            mask_target: Optional[jax.Array] = None) -> jax.Array:
+    """RBF MMD (reference loss.py:61-83; DAN call site main.py:496-500).
+
+    Optional row masks exclude padded rows from both the bandwidth
+    statistic and the block means (ver=2 only)."""
     batch_size = source.shape[0]
     kernels = gaussian_kernel(source, target, kernel_mul, kernel_num,
-                              fix_sigma)
-    return _mmd_from_kernels(kernels, batch_size, ver)
+                              fix_sigma, mask_source, mask_target)
+    return _mmd_from_kernels(kernels, batch_size, ver,
+                             mask_source, mask_target)
 
 
 def JAN(source_list: Sequence[jax.Array], target_list: Sequence[jax.Array],
         kernel_muls: Sequence[float] = (2.0, 2.0),
         kernel_nums: Sequence[int] = (2, 5),
         fix_sigma_list: Sequence[Optional[float]] = (None, None),
-        ver: int = 2) -> jax.Array:
-    """Joint MMD: elementwise product of per-layer kernels (loss.py:85-120)."""
+        ver: int = 2, mask_source: Optional[jax.Array] = None,
+        mask_target: Optional[jax.Array] = None) -> jax.Array:
+    """Joint MMD: elementwise product of per-layer kernels (loss.py:85-120).
+
+    Optional row masks as in mmd_rbf."""
     batch_size = source_list[0].shape[0]
     joint = None
     for src, tgt, mul, num, sigma in zip(source_list, target_list,
                                          kernel_muls, kernel_nums,
                                          fix_sigma_list):
-        k = gaussian_kernel(src, tgt, mul, num, sigma)
+        k = gaussian_kernel(src, tgt, mul, num, sigma,
+                            mask_source, mask_target)
         joint = k if joint is None else joint * k
-    return _mmd_from_kernels(joint, batch_size, ver)
+    return _mmd_from_kernels(joint, batch_size, ver,
+                             mask_source, mask_target)
 
 
 def loss_adaptive_weight(loss: jax.Array, pred: jax.Array) -> jax.Array:
@@ -227,23 +266,33 @@ def rand_select_batch(key: jax.Array, x: jax.Array, num: int):
     return idx, x[idx]
 
 
-def CORAL(source: jax.Array, target: jax.Array) -> jax.Array:
+def CORAL(source: jax.Array, target: jax.Array,
+          mask_source: Optional[jax.Array] = None,
+          mask_target: Optional[jax.Array] = None) -> jax.Array:
     """Deep CORAL: squared Frobenius distance of feature covariances.
 
     The reference *advertises* CORAL (opts.py:44) and calls it
     (main.py:492-495) but never defines it — selecting it raises NameError
     (SURVEY §2.10).  We implement the standard Deep CORAL loss
     (Sun & Saenko 2016): ||C_s - C_t||_F^2 / (4 d^2).
+
+    With row masks, mean/covariance run over the valid rows only (the
+    static-shape analogue of the reference's removeDummy row-stripping
+    before the loss, main.py:420-422).
     """
     source = _as_2d(source)
     target = _as_2d(target)
     d = source.shape[1]
-    ns = source.shape[0]
-    nt = target.shape[0]
 
-    def cov(x, n):
-        xm = x - jnp.mean(x, axis=0, keepdims=True)
+    def cov(x, m):
+        if m is None:
+            n = jnp.asarray(x.shape[0], x.dtype)
+            xm = x - jnp.mean(x, axis=0, keepdims=True)
+        else:
+            w = m.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            xm = (x - jnp.sum(x * w, axis=0, keepdims=True) / n) * w
         return (xm.T @ xm) / jnp.maximum(n - 1, 1)
 
-    diff = cov(source, ns) - cov(target, nt)
+    diff = cov(source, mask_source) - cov(target, mask_target)
     return jnp.sum(diff * diff) / (4.0 * d * d)

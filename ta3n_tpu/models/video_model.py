@@ -81,7 +81,7 @@ class VideoModel(nn.Module):
         return jnp.where(is_src.reshape((-1,) + (1,) * (x.ndim - 1)), y_s, y_t)
 
     def _domain_align(self, x, bn_name, is_train, batch_s, batch_t,
-                      rows_per_video, alpha):
+                      rows_per_video, alpha, mask_s=None, mask_t=None):
         """AdaBN / AutoDIAL dual-BN with cross-domain statistic mixing.
 
         Functional re-design of reference domainAlign (models.py:490-543):
@@ -111,6 +111,16 @@ class VideoModel(nn.Module):
         w_S_video = jnp.concatenate([route_s_to_S, ~route_t_to_T])
         w_S = jnp.repeat(w_S_video, rows_per_video).astype(x.dtype)
         w_T = 1.0 - w_S
+        if mask_s is not None:
+            # batch-validity masks: padded videos contribute to NEITHER
+            # BN's statistics (the reference pushes zero dummy rows
+            # through its BNs, main.py:358-372 — a documented fix, like
+            # the aliasing divergence above: results must equal a run
+            # with the smaller true batch)
+            valid = jnp.repeat(jnp.concatenate([mask_s, mask_t]),
+                               rows_per_video).astype(x.dtype)
+            w_S = w_S * valid
+            w_T = w_T * valid
         bn_s = MaskedBatchNorm(x.shape[-1], name=f"{bn_name}_S")
         bn_t = MaskedBatchNorm(x.shape[-1], name=f"{bn_name}_T")
         y_s = bn_s(x, stats_weight=w_S, use_running_average=not is_train)
@@ -121,7 +131,9 @@ class VideoModel(nn.Module):
     def __call__(self, input_source: jax.Array, input_target: jax.Array,
                  beta: jax.Array, mu, is_train: bool = True,
                  reverse: bool = False,
-                 combined_rows: Optional[jax.Array] = None
+                 combined_rows: Optional[jax.Array] = None,
+                 mask_source: Optional[jax.Array] = None,
+                 mask_target: Optional[jax.Array] = None
                  ) -> Tuple[StreamOutput, StreamOutput]:
         """Dual-stream forward (reference forward, models.py:545-722).
 
@@ -174,7 +186,8 @@ class VideoModel(nn.Module):
                                  f, n_src_frames)
             if li == 0 and cfg.use_bn != "none":
                 f = self._domain_align(f, "bn_shared", is_train, bs, bt,
-                                       num_segments, alpha)
+                                       num_segments, alpha,
+                                       mask_source, mask_target)
             f = nn.relu(f)
             f = nn.Dropout(cfg.dropout_i)(f, deterministic=not is_train)
             feat_all.append(f.reshape(b_all, num_segments, -1))
@@ -195,7 +208,8 @@ class VideoModel(nn.Module):
             w = trans_attn_weights(pred_domain_frame.astype(jnp.float32))
             f = (w[:, None].astype(dtype) + 1) * f
         elif cfg.use_attn_frame == "general":
-            w = GeneralAttn(cfg.shared_dim, name="attn_layer_frame")(
+            w = GeneralAttn(cfg.shared_dim, quantize=cfg.quantize,
+                            name="attn_layer_frame")(
                 f.reshape(b_all, num_segments, -1))
             f = (w.reshape(-1, 1).astype(dtype) + 1) * f
 
@@ -276,7 +290,8 @@ class VideoModel(nn.Module):
                 rel = (w[..., None].astype(dtype) + 1) * rel
                 attn = w
             elif cfg.use_attn == "general":
-                w = GeneralAttn(cfg.aggregated_dim, name="attn_layer")(rel)
+                w = GeneralAttn(cfg.aggregated_dim, quantize=cfg.quantize,
+                                name="attn_layer")(rel)
                 rel = (w.astype(dtype) + 1) * rel
                 attn = w[:, :, 0]
             else:
@@ -291,7 +306,8 @@ class VideoModel(nn.Module):
             xc_rows = xc[..., 0].reshape(b_all * num_segments, -1)
             if cfg.use_bn != "none":
                 xc_rows = self._domain_align(xc_rows, "bn_1", is_train, bs,
-                                             bt, num_segments, alpha)
+                                             bt, num_segments, alpha,
+                                             mask_source, mask_target)
             xc_rows = nn.relu(xc_rows)
             feat_video = jnp.mean(
                 xc_rows.reshape(b_all, num_segments, -1), axis=1)

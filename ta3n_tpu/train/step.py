@@ -237,7 +237,7 @@ _DIS_CHUNK_ROWS = 256  # reference size_batch (main.py:488)
 
 
 def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
-                      n_pair: int):
+                      n_pair: int, mask_s=None, mask_t=None):
     """DAN / JAN / CORAL placement (main.py:454-505).
 
     Features are taken from the first ``n_pair`` videos of each stream
@@ -265,6 +265,12 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
     def flat(x):
         return x[:n_pair].reshape(n_pair, -1)
 
+    # row masks for the paired slice: padded rows must not contribute to
+    # bandwidth statistics, kernel means, or covariances (the mask
+    # analogue of removeDummy running BEFORE the loss, main.py:420-422)
+    ms = None if mask_s is None else mask_s[:n_pair]
+    mt = None if mask_t is None else mask_t[:n_pair]
+
     if da.dis_DA == "JAN":
         # ignore the shared-layer features (main.py:463-465)
         fs = [flat(f) for f in feat_s[:-add_fc]]
@@ -280,11 +286,14 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
                 "baseline_type 'tsn' provides none beyond the shared "
                 "layers (the reference crashes on this config too)")
         return JAN(fs, ft, kernel_muls=kernel_muls, kernel_nums=kernel_nums,
-                   fix_sigma_list=[None, None], ver=2)
+                   fix_sigma_list=[None, None], ver=2,
+                   mask_source=ms, mask_target=mt)
 
     def chunked_mean(fn, fs, ft):
         size_batch = min(_DIS_CHUNK_ROWS, fs.shape[0])
-        chunks = [fn(fs[i:i + size_batch], ft[i:i + size_batch])
+        chunks = [fn(fs[i:i + size_batch], ft[i:i + size_batch],
+                     None if ms is None else ms[i:i + size_batch],
+                     None if mt is None else mt[i:i + size_batch])
                   for i in range(0, fs.shape[0], size_batch)]
         return sum(chunks) / len(chunks)
 
@@ -298,11 +307,14 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
             continue
         fs, ft = flat(feat_s[l]), flat(feat_t[l])
         if da.dis_DA == "CORAL":
-            loss = loss + chunked_mean(CORAL, fs, ft)
+            loss = loss + chunked_mean(
+                lambda a, b, wa, wb: CORAL(a, b, mask_source=wa,
+                                           mask_target=wb), fs, ft)
         elif da.dis_DA == "DAN":
             loss = loss + chunked_mean(
-                lambda a, b, l=l: mmd_rbf(a, b, kernel_mul=muls[l],
-                                          kernel_num=nums[l], ver=2),
+                lambda a, b, wa, wb, l=l: mmd_rbf(
+                    a, b, kernel_mul=muls[l], kernel_num=nums[l], ver=2,
+                    mask_source=wa, mask_target=wb),
                 fs, ft)
         else:
             raise ValueError(f"unknown dis_DA {da.dis_DA}")
@@ -408,7 +420,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
             (out_s, out_t), mut = model.apply(
                 variables, xs, xt, scalars.beta, scalars.mu, True, False,
                 rngs={"dropout": rng_fwd}, mutable=["batch_stats"],
-                combined_rows=rows)
+                combined_rows=rows,
+                mask_source=mask_s, mask_target=mask_t)
             new_stats = mut["batch_stats"]
         else:
             out_s, out_t = model.apply(
@@ -448,7 +461,7 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         if da.dis_DA != "none" and use_tgt:
             n_pair = min(xs.shape[0], xt.shape[0])
             loss_d = _discrepancy_loss(out_s.feat, out_t.feat, da,
-                                       cfg.add_fc, n_pair)
+                                       cfg.add_fc, n_pair, mask_s, mask_t)
             metrics["loss_d"] = loss_d
             loss = loss + scalars.alpha * loss_d
 
@@ -526,7 +539,9 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
             res2 = model.apply(variables2, xs, xt, scalars.beta, scalars.mu,
                                True, True, rngs={"dropout": rng_mcd},
                                mutable=["batch_stats"] if use_bn else False,
-                               combined_rows=rows)
+                               combined_rows=rows,
+                               mask_source=mask_s if use_bn else None,
+                               mask_target=mask_t if use_bn else None)
             if use_bn:
                 (_, out_t_rev), mut2 = res2
                 new_stats = mut2["batch_stats"]
