@@ -43,6 +43,8 @@ STORE_S_ROWS, STORE_T_ROWS = 20000, 12000
 def measure_roundtrip() -> float:
     tiny = jnp.zeros(()) + 1.0
     float(tiny)
+    # warm the timed program itself (cold remote compiles cost 20-290 s)
+    float(tiny + 1.0)
     t0 = time.perf_counter()
     for _ in range(5):
         float(tiny + 1.0)

@@ -44,6 +44,9 @@ def iters_for(bs: int) -> int:
 def measure_roundtrip() -> float:
     tiny = jnp.zeros(()) + 1.0
     float(tiny)
+    # warm the timed program too: a cold remote compile here costs
+    # 20-290 s (CLAUDE.md) and would corrupt the subtracted roundtrip
+    float(tiny + 1.0)
     t0 = time.perf_counter()
     for _ in range(5):
         float(tiny + 1.0)

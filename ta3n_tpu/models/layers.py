@@ -33,14 +33,20 @@ _QUANT_MIN_DIM = 128
 def int8_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """W8A8 dynamically-quantized ``x @ kernel`` on the int8 MXU path.
 
-    Symmetric per-output-channel weight scales (max-abs/127 over the
-    input axis) and per-row activation scales (max-abs/127 over the last
-    axis), int8 x int8 -> int32 accumulation
-    (``preferred_element_type=int32`` maps onto the TPU MXU's native s8
-    mode), rescaled back to f32.  When the kernel is a trace-time
-    constant (serve.Predictor closes params over the jit) the weight
-    quantization const-folds at compile time — only the dynamic
-    activation quant runs per call.
+    Weights: symmetric per-output-channel scales (max-abs/127 over the
+    input axis).  Activations: ASYMMETRIC per-row quantization — scale
+    (max-min)/255 with a per-row zero point, so the full 256-level grid
+    covers the actual row range.  The model's quantized GEMMs all see
+    post-ReLU inputs (non-negative), where a symmetric grid would waste
+    half its levels (effective 7-bit); the asymmetric grid halves that
+    quantization error.  The zero-point lands back in the s8 dot via a
+    rank-1 correction ``zp * colsum(w8)`` — colsum const-folds with the
+    weights when the kernel is a trace-time constant (serve.Predictor
+    closes params over the jit), so per call only the dynamic activation
+    quant and one broadcast-multiply-add run.
+
+    int8 x int8 -> int32 accumulation (``preferred_element_type=int32``
+    maps onto the TPU MXU's native s8 mode), rescaled back to f32.
 
     x: [..., in_f]; kernel: [in_f, out_f] -> [..., out_f] float32.
     """
@@ -48,33 +54,46 @@ def int8_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
     sw = jnp.max(jnp.abs(kf), axis=0) / 127.0            # [out_f]
     sw = jnp.where(sw > 0, sw, 1.0)
     w8 = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    colsum = jnp.sum(w8.astype(jnp.int32), axis=0).astype(jnp.float32)
     xf = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    hi = jnp.max(xf, axis=-1, keepdims=True)
+    lo = jnp.min(xf, axis=-1, keepdims=True)
+    sx = (hi - lo) / 255.0
     sx = jnp.where(sx > 0, sx, 1.0)
-    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    zp = jnp.round(lo / sx) + 128.0                      # [..., 1]
+    x8 = jnp.clip(jnp.round(xf / sx) - zp, -128, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * sx * sw
+    # x ~= sx * (x8 + zp)  =>  x @ W ~= sx*sw*(acc + zp * colsum)
+    return (acc.astype(jnp.float32) + zp * colsum) * sx * sw
 
 
 def int8_batched_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
     """W8A8 quantized ``einsum('bri,rio->bro', x, w)`` (stacked heads).
 
-    Per-(head, output-channel) weight scales, per-(row, head) activation
-    scales; same int8 MXU contraction as `int8_matmul`.
+    Per-(head, output-channel) weight scales; per-(row, head) ASYMMETRIC
+    activation quantization (see `int8_matmul` — full 256-level grid
+    over the row range, zero point folded back via per-head weight
+    column sums); same int8 MXU contraction as `int8_matmul`.
     """
     wf = w.astype(jnp.float32)
     sw = jnp.max(jnp.abs(wf), axis=1, keepdims=True) / 127.0   # [r,1,o]
     sw = jnp.where(sw > 0, sw, 1.0)
     w8 = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    colsum = jnp.sum(w8.astype(jnp.int32), axis=1).astype(jnp.float32)
     xf = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # [b,r,1]
+    hi = jnp.max(xf, axis=-1, keepdims=True)                   # [b,r,1]
+    lo = jnp.min(xf, axis=-1, keepdims=True)
+    sx = (hi - lo) / 255.0
     sx = jnp.where(sx > 0, sx, 1.0)
-    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    zp = jnp.round(lo / sx) + 128.0
+    x8 = jnp.clip(jnp.round(xf / sx) - zp, -128, 127).astype(jnp.int8)
     acc = jnp.einsum("bri,rio->bro", x8, w8,
                      preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * sx * sw.transpose(1, 0, 2)
+    # x ~= sx*(x8 + zp)  =>  out ~= sx*sw*(acc + zp * colsum[r,o])
+    return ((acc.astype(jnp.float32) + zp * colsum[None])
+            * sx * sw.transpose(1, 0, 2))
 
 
 class QuantDense(nn.Module):
@@ -220,13 +239,18 @@ class GeneralAttn(nn.Module):
 
     Parity: attn_layer (models.py:320-325) + get_general_attn
     (models.py:359-366).  Input [B, T, D]; output weights [B, T, 1].
+
+    ``quantize='int8'`` runs attn_fc1 (dim x dim, MXU-sized for the
+    published aggregated_dim=256) on the int8 path; attn_fc2 (out=1) is
+    below the MXU tile and stays f32 via QuantDense's own gate.
     """
 
     dim: int
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, feat: jax.Array) -> jax.Array:
-        h = dense(self.dim, name="attn_fc1")(feat)
+        h = dense(self.dim, name="attn_fc1", quantize=self.quantize)(feat)
         h = jnp.tanh(h)
-        w = dense(1, name="attn_fc2")(h)
+        w = dense(1, name="attn_fc2", quantize=self.quantize)(h)
         return jax.nn.softmax(w, axis=1)

@@ -54,16 +54,60 @@ def _probs(cfg, params, x):
 def test_int8_matmul_exact_on_grid():
     """When weights/activations already sit exactly on their int8 grids,
     the quantized matmul reproduces the f32 product exactly (validates
-    the scale/rescale math end-to-end)."""
+    the scale/zero-point/rescale math end-to-end).  The activation grid
+    is ASYMMETRIC: 256 levels spanning [row min, row max], so the exact
+    grid is lo + k*(hi-lo)/255 — both a non-negative (post-ReLU-like)
+    and a signed row range are pinned."""
     rng = np.random.default_rng(0)
     sw, sx = 0.5, 0.25
     w = (rng.integers(-127, 128, size=(128, 128)) * sw).astype(np.float32)
     w[0, :] = 127 * sw  # pin each column's max-abs to exactly 127*sw
-    x = (rng.integers(-127, 128, size=(4, 128)) * sx).astype(np.float32)
-    x[:, 0] = 127 * sx
+    # rows 0-1: unsigned grid k*sx, k in [0,255] with both ends pinned
+    xu = (rng.integers(0, 256, size=(2, 128)) * sx).astype(np.float32)
+    xu[:, 0], xu[:, 1] = 0.0, 255 * sx
+    # rows 2-3: signed grid k*sx, k in [-128,127] with both ends pinned
+    xs = (rng.integers(-128, 128, size=(2, 128)) * sx).astype(np.float32)
+    xs[:, 0], xs[:, 1] = -128 * sx, 127 * sx
+    x = np.concatenate([xu, xs])
     got = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(w)))
     want = x.astype(np.float64) @ w.astype(np.float64)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_int8_asymmetric_beats_symmetric_on_relu_inputs():
+    """On non-negative (post-ReLU) activations — what the model's
+    quantized GEMMs actually see — the asymmetric activation grid uses
+    all 256 levels over [0, max] where a symmetric grid wastes half;
+    assert the implementation's error is well below the symmetric
+    bound's floor (ADVICE r3 #3)."""
+    rng = np.random.default_rng(3)
+    x = np.maximum(rng.normal(size=(64, 256)), 0.0).astype(np.float64)
+
+    # the implementation's asymmetric activation reconstruction
+    hi = x.max(axis=1, keepdims=True)
+    lo = x.min(axis=1, keepdims=True)
+    s = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    zp = np.round(lo / s) + 128.0
+    xq_asym = (np.clip(np.round(x / s) - zp, -128, 127) + zp) * s
+
+    # symmetric 127-level reference quantization of the same rows
+    sx = np.abs(x).max(axis=1, keepdims=True) / 127.0
+    xq_sym = np.clip(np.round(x / sx), -127, 127) * sx
+
+    err_asym = np.abs(xq_asym - x).mean()
+    err_sym = np.abs(xq_sym - x).mean()
+    assert err_asym < 0.6 * err_sym, (err_asym, err_sym)
+
+    # and the full matmul (incl. shared weight-quant error) must not be
+    # worse than a symmetric-activation W8A8 product
+    xf = x.astype(np.float32)
+    w = rng.normal(scale=0.05, size=(256, 256)).astype(np.float32)
+    got = np.asarray(int8_matmul(jnp.asarray(xf), jnp.asarray(w)))
+    want = x @ w.astype(np.float64)
+    sw_ = np.abs(w).max(axis=0) / 127.0
+    wq = np.clip(np.round(w / sw_), -127, 127) * sw_
+    sym = xq_sym @ wq.astype(np.float64)
+    assert np.abs(got - want).mean() < np.abs(sym - want).mean()
 
 
 def test_int8_batched_matmul_matches_einsum():
