@@ -1,0 +1,207 @@
+"""End-accuracy A/B vs the ACTUAL reference on the rotation benchmark
+(VERDICT r3 #3): the strongest accuracy-parity statement obtainable with
+zero egress.
+
+Per seed and per DA variant (none / RevGrad / DAN / MCD), BOTH
+frameworks train to completion on the SAME rotated-domain data
+(make_rotated_domain_pair, identical stores AND identical per-epoch
+batch streams — the reference arm materializes its batch lists from
+TSNLoaders with the same seeds our Trainer consumes) with the same
+recipe (lr, epochs, schedules, beta ramp, loss weights), and the best
+target top-1 over the same eval epochs is compared.
+
+The reference arm is the real code: /root/reference/main.py's train()
+(main.py:309) and validate() (main.py:669) running in-process through
+tests/ref_harness.py's CPU monkeypatch (no reference file modified).
+
+Usage (CPU, ~25-40 min for 4 variants x 3 seeds x 2 frameworks):
+
+  PYTHONPATH=.:/root/.axon_site PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/ref_ab_experiment.py --variants none revgrad dan mcd \
+      --seeds 0 1 2 --json /tmp/ref_ab.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+SEG, FDIM = 5, 16
+
+# benchmark task: the verified DA-wins recipe (BENCH_NOTES "DA wins"),
+# at 8 classes — the reference's accuracy() hard-codes topk=(1,5)
+# (main.py:814), so num_class must be >= 5 for its own meters
+BENCH = dict(angle=60.0, centroid_scale=4.0, videos=128, num_class=8,
+             epochs=120, lr=0.05, dropout=0.0, batch=16,
+             beta=(-1.0, -1.0, -1.0), gamma=0.003)
+
+# per-variant loss weights (DAN's alpha=0.2 is the r3-tuned stable value;
+# MCD needs mu > 0 to act — reference default is 0, main.py:538-556)
+VARIANTS = {
+    "none":    dict(alpha=1.0, mu=0.0),
+    "revgrad": dict(alpha=1.0, mu=0.0),
+    "dan":     dict(alpha=0.2, mu=0.0),
+    "mcd":     dict(alpha=1.0, mu=0.1),
+}
+
+
+def eval_epochs(epochs: int):
+    """The epochs both arms validate at (Trainer: eval_freq=epochs//5)."""
+    f = max(epochs // 5, 1)
+    return [e for e in range(1, epochs + 1) if e % f == 0 or e == epochs]
+
+
+def run_ours(seed: int, variant: str, mesh: bool) -> float:
+    from scripts.da_wins_experiment import run_one
+    v = VARIANTS[variant]
+    args = argparse.Namespace(
+        angle=BENCH["angle"], centroid_scale=BENCH["centroid_scale"],
+        videos=BENCH["videos"], num_class=BENCH["num_class"], fc_dim=16,
+        epochs=BENCH["epochs"], lr=BENCH["lr"], alpha=v["alpha"],
+        gamma=BENCH["gamma"], mu=v["mu"], dropout=BENCH["dropout"],
+        fix_task=False, beta=list(BENCH["beta"]), place_adv=["Y", "Y", "Y"],
+        dann_lr=False, compute_dtype="float32",
+        da_variant={"revgrad": "full", "dan": "dan",
+                    "mcd": "mcd"}.get(variant, "full"),
+        mesh=mesh)
+    return float(run_one(seed, variant != "none", args))
+
+
+def ref_flags(variant: str):
+    v = VARIANTS[variant]
+    flags = ["--baseline_type", "video", "--frame_aggregation", "trn-m",
+             "--num_segments", str(SEG), "--val_segments", str(SEG),
+             "--add_fc", "1", "--fc_dim", "16",
+             "--dropout_i", str(BENCH["dropout"]),
+             "--dropout_v", str(BENCH["dropout"]),
+             "--use_attn", "TransAttn", "--optimizer", "SGD",
+             "--lr", str(BENCH["lr"]), "--epochs", str(BENCH["epochs"]),
+             "--lr_adaptive", "none",
+             "--beta"] + [str(b) for b in BENCH["beta"]] + [
+             "--gamma", str(BENCH["gamma"]), "--mu", str(v["mu"]),
+             "--alpha", str(v["alpha"])]
+    if variant == "none":
+        flags += ["--use_target", "none"]
+    elif variant == "revgrad":
+        flags += ["--use_target", "uSv", "--adv_DA", "RevGrad",
+                  "--place_adv", "Y", "Y", "Y",
+                  "--add_loss_DA", "attentive_entropy"]
+    elif variant == "dan":
+        flags += ["--use_target", "uSv", "--dis_DA", "DAN",
+                  "--place_dis", "N", "Y", "N"]
+    elif variant == "mcd":
+        flags += ["--use_target", "uSv", "--ens_DA", "MCD"]
+    else:
+        raise ValueError(variant)
+    return flags
+
+
+def run_reference(seed: int, variant: str) -> float:
+    """Train the ACTUAL reference to completion on the same data; return
+    its best target top-1 over the same eval epochs."""
+    import torch
+
+    import ref_harness as rh
+    from ta3n_tpu.data import TSNLoader
+    from ta3n_tpu.data.synthetic import make_rotated_domain_pair
+
+    src, tgt, val = make_rotated_domain_pair(
+        num_source=BENCH["videos"], num_target=BENCH["videos"],
+        num_val=BENCH["videos"], num_class=BENCH["num_class"],
+        feature_dim=FDIM, angle_deg=BENCH["angle"],
+        centroid_scale=BENCH["centroid_scale"], seed=seed, task_seed=seed)
+
+    rh.set_feature_dim(FDIM)
+    args = rh.make_args(ref_flags(variant))
+    torch.manual_seed(seed)
+    model = rh.build_ref_model(args, BENCH["num_class"])
+    optimizer = rh.build_optimizer(args, model)
+
+    # identical batch streams to our Trainer's: same TSNLoader seeds
+    # (da_wins_experiment.run_one uses seed+1 / seed+2 / shuffle=False)
+    B = BENCH["batch"]
+    ls = TSNLoader(src, batch_size=B, num_segments=SEG, mode="test",
+                   seed=seed + 1)
+    lt = TSNLoader(tgt, batch_size=B, num_segments=SEG, mode="test",
+                   seed=seed + 2)
+    lv = TSNLoader(val, batch_size=B, num_segments=SEG, mode="test",
+                   shuffle=False)
+
+    def torchify(loader):
+        out = []
+        for b in loader.epoch():
+            assert float(np.min(b.mask)) == 1.0  # batch divides evenly
+            out.append((torch.from_numpy(np.asarray(b.features)),
+                        torch.from_numpy(
+                            np.asarray(b.labels).astype("int64"))))
+        return out
+
+    val_batches = torchify(lv)
+    evals = set(eval_epochs(BENCH["epochs"]))
+    best = 0.0
+    v = VARIANTS[variant]
+    for epoch in range(1, BENCH["epochs"] + 1):
+        rh.ref_train(args, model, BENCH["num_class"], torchify(ls),
+                     torchify(lt), optimizer=optimizer, alpha=v["alpha"],
+                     epoch=epoch)
+        if epoch in evals:
+            prec1 = float(rh.ref_validate(args, model, BENCH["num_class"],
+                                          val_batches, epoch=epoch))
+            best = max(best, prec1)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="+",
+                    default=["none", "revgrad", "dan", "mcd"],
+                    choices=list(VARIANTS))
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override BENCH epochs (quick runs)")
+    ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+    if args.epochs:
+        BENCH["epochs"] = args.epochs
+
+    rows, summary = [], {}
+    for variant in args.variants:
+        ours_all, ref_all = [], []
+        for seed in args.seeds:
+            ours = run_ours(seed, variant, args.mesh)
+            ref = run_reference(seed, variant)
+            rows.append({"variant": variant, "seed": seed,
+                         "ours_top1": ours, "reference_top1": ref,
+                         "delta": ours - ref})
+            print(json.dumps(rows[-1]), flush=True)
+            ours_all.append(ours)
+            ref_all.append(ref)
+        summary[variant] = {
+            "ours_mean": float(np.mean(ours_all)),
+            "reference_mean": float(np.mean(ref_all)),
+            "delta_mean": float(np.mean(ours_all) - np.mean(ref_all)),
+            "ours_per_seed": ours_all, "reference_per_seed": ref_all,
+        }
+        print(json.dumps({variant: summary[variant]}), flush=True)
+    out = {"bench": {k: (list(v) if isinstance(v, tuple) else v)
+                     for k, v in BENCH.items()},
+           "seeds": args.seeds, "summary": summary,
+           "ok": all(s["delta_mean"] >= -2.0 for s in summary.values())}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"rows": rows, **out}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

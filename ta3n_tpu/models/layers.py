@@ -14,12 +14,34 @@ from flax import linen as nn
 
 from ta3n_tpu.losses.losses import entropy_from_logits
 
-# torch init parity: every Linear in the reference is
+# torch init parity: the Linears the reference's init loop TOUCHES are
 # `normal_(weight, 0, 0.001); constant_(bias, 0)` (models.py:141-305).
 normal_001 = nn.initializers.normal(stddev=0.001)
 # TCL conv / RNN weights use kaiming_normal_ (models.py:51,210-212) =
 # He-normal over fan_in.
 kaiming_normal = nn.initializers.he_normal()
+
+
+def torch_default_uniform(fan_in: Optional[int] = None):
+    """torch ``nn.Linear`` DEFAULT init: weight kaiming_uniform(a=√5)
+    and bias U(±1/√fan_in) — both reduce to U(±sqrt(1/fan_in)).
+
+    The reference's normal_(0.001) loop lists its layers explicitly and
+    NEVER touches the TRN fusion Linears (TRNmodule.py:18,50), the
+    relation-domain classifiers (models.py:286-294) or the 'general'
+    attention MLP (models.py:320-325) — those keep torch's default, and
+    the difference is learning-speed-critical: with normal(0.001) the
+    TRN output is ~1e-3-scale, so every video-level gradient is ~1000×
+    too small (caught by the reference A/B, scripts/ref_ab_experiment).
+
+    For kernels (shape [fan_in, out]) the fan-in is derived from the
+    shape; for biases (shape [out]) pass ``fan_in`` explicitly.
+    """
+    def init(key, shape, dtype=jnp.float32):
+        fi = fan_in if fan_in is not None else shape[0]
+        bound = (1.0 / fi) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
 
 
 # int8 inference (ModelConfig.quantize='int8'): a dense GEMM is quantized
@@ -107,12 +129,18 @@ class QuantDense(nn.Module):
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    init: str = "normal001"  # "normal001" | "torch_default"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_f = x.shape[-1]
-        kernel = self.param("kernel", normal_001, (in_f, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.init == "torch_default":
+            k_init = torch_default_uniform()
+            b_init = torch_default_uniform(in_f)
+        else:
+            k_init, b_init = normal_001, nn.initializers.zeros
+        kernel = self.param("kernel", k_init, (in_f, self.features))
+        bias = self.param("bias", b_init, (self.features,))
         if in_f >= _QUANT_MIN_DIM and self.features >= _QUANT_MIN_DIM:
             y = int8_matmul(x, kernel) + bias.astype(jnp.float32)
         else:  # logits heads: plain f32 math (nn.Dense semantics)
@@ -122,14 +150,25 @@ class QuantDense(nn.Module):
 
 
 def dense(features: int, dtype=None, name: Optional[str] = None,
-          quantize: str = "none") -> nn.Module:
+          quantize: str = "none", init: str = "normal001",
+          fan_in: Optional[int] = None) -> nn.Module:
     """A Linear with the reference's init policy.
 
+    ``init='torch_default'`` selects torch's default Linear init for the
+    layers the reference's normal_(0.001) loop never touches (see
+    `torch_default_uniform`); pass ``fan_in`` with it (the bias bound
+    depends on the input width, which nn.Dense's bias_init can't see).
     ``quantize='int8'`` (ModelConfig.quantize, inference paths only)
     swaps the arithmetic for the W8A8 int8 MXU path with the same params.
     """
     if quantize == "int8":
-        return QuantDense(features, dtype=dtype, name=name)
+        return QuantDense(features, dtype=dtype, name=name, init=init)
+    if init == "torch_default":
+        if fan_in is None:
+            raise ValueError("init='torch_default' requires fan_in=")
+        return nn.Dense(features, kernel_init=torch_default_uniform(),
+                        bias_init=torch_default_uniform(fan_in),
+                        dtype=dtype, name=name)
     return nn.Dense(features, kernel_init=normal_001,
                     bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
@@ -146,12 +185,18 @@ class DenseParams(nn.Module):
     """
 
     features: int
+    init: str = "normal001"  # "normal001" | "torch_default"
 
     @nn.compact
     def __call__(self, in_features: int):
-        kernel = self.param("kernel", normal_001,
+        if self.init == "torch_default":
+            k_init = torch_default_uniform()
+            b_init = torch_default_uniform(in_features)
+        else:
+            k_init, b_init = normal_001, nn.initializers.zeros
+        kernel = self.param("kernel", k_init,
                             (in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bias = self.param("bias", b_init, (self.features,))
         return kernel, bias
 
 
@@ -239,6 +284,8 @@ class GeneralAttn(nn.Module):
 
     Parity: attn_layer (models.py:320-325) + get_general_attn
     (models.py:359-366).  Input [B, T, D]; output weights [B, T, 1].
+    The reference builds attn_layer OUTSIDE its normal_(0.001) init loop,
+    so both Linears keep torch's default init (torch_default_uniform).
 
     ``quantize='int8'`` runs attn_fc1 (dim x dim, MXU-sized for the
     published aggregated_dim=256) on the int8 path; attn_fc2 (out=1) is
@@ -250,7 +297,9 @@ class GeneralAttn(nn.Module):
 
     @nn.compact
     def __call__(self, feat: jax.Array) -> jax.Array:
-        h = dense(self.dim, name="attn_fc1", quantize=self.quantize)(feat)
+        h = dense(self.dim, name="attn_fc1", quantize=self.quantize,
+                  init="torch_default", fan_in=feat.shape[-1])(feat)
         h = jnp.tanh(h)
-        w = dense(1, name="attn_fc2", quantize=self.quantize)(h)
+        w = dense(1, name="attn_fc2", quantize=self.quantize,
+                  init="torch_default", fan_in=self.dim)(h)
         return jax.nn.softmax(w, axis=1)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ta3n_tpu.models.layers import dense, normal_001
+from ta3n_tpu.models.layers import dense
 from ta3n_tpu.ops.relation import build_relation_plan
 from ta3n_tpu.ops.trn_fused import trn_multiscale_fused, trn_multiscale_infer
 
@@ -66,8 +66,12 @@ class RelationModule(nn.Module):
         b = x.shape[0]
         h = x.reshape(b, self.num_frames * self.img_feature_dim)
         h = nn.relu(h)
+        # torch DEFAULT Linear init: the reference's normal_(0.001) loop
+        # never touches the TRN fusion Linears (layers.py
+        # torch_default_uniform)
         h = dense(self.num_bottleneck, dtype=self.dtype, name="fc_fusion",
-                  quantize=self.quantize)(h)
+                  quantize=self.quantize, init="torch_default",
+                  fan_in=self.num_frames * self.img_feature_dim)(h)
         h = nn.relu(h)
         return h[:, None, :]
 
@@ -81,7 +85,8 @@ class RelationModuleMultiScale(nn.Module):
     [B, S-1, bottleneck].
 
     Param layout (per scale i): ``w_scale_i`` [k_i*D, H], ``b_scale_i`` [H]
-    with the reference init (Linear weight normal(0.001), bias 0).
+    with the reference init: torch's DEFAULT Linear init (the reference
+    builds these via TRNmodule.py OUTSIDE its normal_(0.001) loop).
     """
 
     img_feature_dim: int
@@ -116,12 +121,18 @@ class RelationModuleMultiScale(nn.Module):
         hdim = self.num_bottleneck
         plan = build_relation_plan(self.num_frames, self.subsample_num)
 
+        # torch DEFAULT Linear init — the reference's normal_(0.001) loop
+        # never touches the TRN fusion Linears (TRNmodule.py:50; see
+        # layers.torch_default_uniform for why this is load-bearing)
+        from ta3n_tpu.models.layers import torch_default_uniform
         weights, biases = [], []
         for scale_id, k in enumerate(plan.scales):
-            weights.append(self.param(f"w_scale_{scale_id}", normal_001,
+            weights.append(self.param(f"w_scale_{scale_id}",
+                                      torch_default_uniform(),
                                       (k * d, hdim)))
             biases.append(self.param(f"b_scale_{scale_id}",
-                                     nn.initializers.zeros, (hdim,)))
+                                     torch_default_uniform(k * d),
+                                     (hdim,)))
 
         if self._pallas_ok():
             fused = trn_multiscale_infer if infer else trn_multiscale_fused

@@ -261,10 +261,13 @@ class VideoModel(nn.Module):
             # keep the reference checkpoint layout and init stream.
             rel_rev = grad_reverse(rel, beta[0])
             in_dim = rel_rev.shape[-1]
+            # torch DEFAULT init: the reference builds these Sequentials
+            # outside its normal_(0.001) loop (models.py:286-294)
             w1, b1 = zip(*[DenseParams(cfg.aggregated_dim,
+                                       init="torch_default",
                                        name=f"relation_domain_fc1_{i}")(
                                in_dim) for i in range(num_relation)])
-            w2, b2 = zip(*[DenseParams(2,
+            w2, b2 = zip(*[DenseParams(2, init="torch_default",
                                        name=f"relation_domain_fc2_{i}")(
                                cfg.aggregated_dim)
                            for i in range(num_relation)])
