@@ -296,6 +296,100 @@ def _run_ensemble_section(jax):
     return flat, loss
 
 
+def run_preemption_worker(process_id: int, num_processes: int, port: int,
+                          out_path: str, mode: str, exp_dir: str) -> None:
+    """One host of a 2-process TRAINER run for the preemption section
+    (VERDICT r3 #5): the full Trainer (device-store, K-step scan,
+    device-sampled index pipeline) on a multi-host mesh, composed with
+    the SIGTERM emergency-checkpoint path (train/loop.py
+    _sigterm_as_interrupt) and bitwise resume.
+
+    mode='straight': 4 epochs uninterrupted; save final params.
+    mode='preempt':  a pod preemption — every host receives a REAL
+                     SIGTERM after epoch 2's validation (clusters TERM
+                     all hosts of a job); the primary host's emergency
+                     path writes the shared checkpoint, the secondary
+                     skips the write (Trainer.save guard).
+    mode='resume':   relaunch both hosts from the shared checkpoint and
+                     finish; save final params — must be BITWISE the
+                     straight run's (device-sampled streams and
+                     schedules derive from the checkpointed step).
+    """
+    if num_processes > 1:
+        from ta3n_tpu.parallel.distributed import initialize_multihost
+        initialize_multihost(f"localhost:{port}", num_processes,
+                             process_id)
+    import jax
+    import os as _os
+    import signal as _signal
+    from ta3n_tpu.config import DAConfig, ModelConfig, TrainConfig
+    from ta3n_tpu.data import TSNLoader
+    from ta3n_tpu.data.synthetic import make_domain_pair
+    from ta3n_tpu.train.loop import Trainer
+
+    src, tgt, val = make_domain_pair(num_source=24, num_target=18,
+                                     num_val=16, num_class=NCLASS,
+                                     feature_dim=FDIM, shift=0.8)
+    cfg = ModelConfig(num_class=NCLASS, baseline_type="video",
+                      frame_aggregation="trn-m", train_segments=SEG,
+                      val_segments=SEG, fc_dim=FC, feature_dim=FDIM,
+                      use_attn="TransAttn", dropout_i=0.2, dropout_v=0.2)
+    da = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                  place_adv=("Y", "Y", "Y"))
+    tc = TrainConfig(lr=0.05, epochs=4, batch_size=(8, 8, 8),
+                     beta=(-1.0, -1.0, -1.0), lr_adaptive="dann")
+    ls = TSNLoader(src, batch_size=8, num_segments=SEG, mode="random",
+                   seed=1)
+    lt = TSNLoader(tgt, batch_size=8, num_segments=SEG, mode="random",
+                   seed=2)
+    lv = TSNLoader(val, batch_size=8, num_segments=SEG, mode="test",
+                   shuffle=False)
+    tr = Trainer(cfg, da, tc, ls, lt, lv, path_exp=exp_dir,
+                 use_mesh=True, device_store=True, steps_per_call=2,
+                 device_sampler=True, eval_freq=2, print_freq=100,
+                 show_freq=10 ** 9, save_model=True, seed=0)
+
+    interrupted = False
+    if mode == "preempt":
+        orig_validate = tr.validate
+
+        def validate_then_preempt(epoch):
+            prec1 = orig_validate(epoch)
+            if epoch == 2:
+                _os.kill(_os.getpid(), _signal.SIGTERM)
+            return prec1
+
+        tr.validate = validate_then_preempt
+    if mode == "resume":
+        start = tr.resume(_os.path.join(exp_dir, "checkpoint"),
+                          resume_hp=True)
+        assert start == 3, start
+
+    try:
+        tr.fit()
+    except KeyboardInterrupt:
+        interrupted = True
+        if mode != "preempt":
+            raise
+
+    flat = _flat_params(jax, tr.state.params)
+    np.savez(out_path, params=flat, step=int(tr.state.step),
+             interrupted=interrupted,
+             checkpoint_exists=_os.path.exists(
+                 _os.path.join(exp_dir, "checkpoint")),
+             n_processes=jax.process_count())
+    print(f"[{mode} worker {process_id}] done: step={int(tr.state.step)} "
+          f"interrupted={interrupted}", flush=True)
+
+
+def _flat_params(jax_mod, params):
+    leaves = jax_mod.tree_util.tree_leaves(params)
+    return np.concatenate([
+        np.asarray(l.addressable_data(0)
+                   if hasattr(l, "addressable_data") else l).ravel()
+        for l in leaves])
+
+
 def _spawn(args_list, device_count: int):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -380,6 +474,73 @@ def orchestrate(json_path: str | None = None, timeout: int = 900) -> dict:
     return result
 
 
+def orchestrate_preemption(json_path: str | None = None,
+                           timeout: int = 1200) -> dict:
+    """Multi-host preemption/resume integration (VERDICT r3 #5): a
+    2-process Trainer job is SIGTERMed after epoch 2 (real signals, one
+    per host, like a pod preemption), the primary host's emergency path
+    writes the shared checkpoint, both hosts relaunch from it, and the
+    finished job's parameters must be BITWISE those of an uninterrupted
+    2-process run."""
+    tmp = tempfile.mkdtemp(prefix="mhp_")
+    base_port = 13000 + (os.getpid() % 20000)
+
+    def run_phase(mode, exp_dir, port):
+        workers, outs = [], []
+        for i in range(2):
+            wout = os.path.join(tmp, f"{mode}_p{i}.npz")
+            outs.append(wout)
+            workers.append(_spawn(
+                ["--process_id", str(i), "--num_processes", "2",
+                 "--port", str(port), "--out", wout,
+                 "--mode", mode, "--exp", exp_dir], 4))
+        logs = []
+        for w in workers:
+            out, _ = w.communicate(timeout=timeout)
+            logs.append(out)
+        if any(w.returncode != 0 for w in workers):
+            raise RuntimeError(f"{mode} worker failed:\n"
+                               + "\n----\n".join(l[-3000:] for l in logs))
+        return [np.load(o) for o in outs]
+
+    exp_a = os.path.join(tmp, "a") + "/"
+    exp_b = os.path.join(tmp, "b") + "/"
+    straight = run_phase("straight", exp_a, base_port)
+    preempted = run_phase("preempt", exp_b, base_port + 10)
+    resumed = run_phase("resume", exp_b, base_port + 20)
+
+    dev_resume = float(np.max(np.abs(resumed[0]["params"]
+                                     - straight[0]["params"])))
+    dev_cross = float(np.max(np.abs(resumed[0]["params"]
+                                    - resumed[1]["params"])))
+    result = {
+        "ok": bool(
+            dev_resume == 0.0 and dev_cross == 0.0
+            and all(bool(p["interrupted"]) for p in preempted)
+            and bool(preempted[0]["checkpoint_exists"])
+            and int(resumed[0]["step"]) == int(straight[0]["step"])),
+        "what": "2-process Trainer job (device-store, K-step scan, "
+                "device-sampled) SIGTERMed on every host after epoch 2; "
+                "primary's emergency path writes the shared checkpoint; "
+                "both hosts relaunch with --resume_hp and finish.  Final "
+                "parameters vs an uninterrupted 2-process run",
+        "preempted_hosts_interrupted": [bool(p["interrupted"])
+                                        for p in preempted],
+        "emergency_checkpoint_written": bool(
+            preempted[0]["checkpoint_exists"]),
+        "final_step": int(resumed[0]["step"]),
+        "max_param_dev_resumed_vs_straight": dev_resume,
+        "max_param_dev_between_processes": dev_cross,
+    }
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    if not result["ok"]:
+        raise SystemExit(1)
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -388,10 +549,27 @@ def main():
     ap.add_argument("--port", type=int, default=12356)
     ap.add_argument("--out", type=str, default="/tmp/mh_worker.npz")
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--section", choices=["main", "preemption", "all"],
+                    default="main")
+    ap.add_argument("--mode", type=str, default=None,
+                    help="preemption worker mode: straight|preempt|resume")
+    ap.add_argument("--exp", type=str, default=None,
+                    help="preemption worker shared experiment dir")
     args = ap.parse_args()
     if args.worker:
-        run_worker(args.process_id, args.num_processes, args.port,
-                   args.out)
+        if args.mode is not None:
+            run_preemption_worker(args.process_id, args.num_processes,
+                                  args.port, args.out, args.mode,
+                                  args.exp)
+        else:
+            run_worker(args.process_id, args.num_processes, args.port,
+                       args.out)
+    elif args.section == "preemption":
+        orchestrate_preemption(args.json)
+    elif args.section == "all":
+        r1 = orchestrate(args.json and args.json + ".main")
+        r2 = orchestrate_preemption(args.json and args.json + ".preempt")
+        print(json.dumps({"main": r1, "preemption": r2}))
     else:
         orchestrate(args.json)
 

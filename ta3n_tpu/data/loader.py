@@ -197,8 +197,23 @@ def device_prefetch(iterator: Iterator, sharding=None,
 
     import jax
 
+    multiprocess = jax.process_count() > 1
+
+    def put_one(a):
+        if multiprocess and sharding is not None \
+                and not sharding.is_fully_replicated:
+            # multi-host: device_put of host-numpy to a non-replicated
+            # global sharding is rejected; every process holds the same
+            # full batch (seed-synchronized loaders), so lift it with
+            # each process contributing the shards it owns
+            import numpy as _np
+            a = _np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, sharding, lambda idx, a=a: a[idx])
+        return jax.device_put(a, sharding)
+
     def put(batch):
-        return type(batch)(*(jax.device_put(a, sharding) for a in batch))
+        return type(batch)(*(put_one(a) for a in batch))
 
     queue: "collections.deque" = collections.deque()
     for item in iterator:

@@ -43,11 +43,18 @@ def save_checkpoint(path_exp: str, payload: Dict[str, Any],
     # host-numpy leaves: checkpoints restore on ANY device topology (train
     # on a pod, eval on one chip) — orbax otherwise pins saved shardings
     arrays = jax.tree_util.tree_map(lambda a: np.asarray(a), arrays)
-    if os.path.exists(path):
+    # multi-host: orbax's save is a COLLECTIVE (sync_global_processes) —
+    # every process must call it (the primary writes); but the plain
+    # filesystem side-effects (rmtree, meta sidecar, best copy) must run
+    # on the primary only, or concurrent writers corrupt the shared dir
+    primary = jax.process_index() == 0
+    if primary and os.path.exists(path):
         shutil.rmtree(path)
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, arrays)
     ckpt.wait_until_finished()
+    if not primary:
+        return path
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f)
     if is_best:

@@ -456,6 +456,9 @@ class Trainer:
         return self.start_epoch
 
     def save(self, epoch: int, prec1: float, is_best: bool):
+        # multi-host note: EVERY process must call this together —
+        # orbax's save is a collective; save_checkpoint itself restricts
+        # the filesystem side-effects to the primary host
         save_checkpoint(self.path_exp, {
             "epoch": epoch,
             "lr_current": float(self.lr_current),

@@ -16,6 +16,7 @@ Design vs the reference:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
@@ -114,6 +115,44 @@ def _mesh_shardings(mesh, axis_name: str = "data"):
     data = NamedSharding(mesh, P(axis_name))
     kdata = NamedSharding(mesh, P(None, axis_name))
     return rep, data, kdata
+
+
+def _multiprocess_lift(fn, in_shardings):
+    """Make a mesh-compiled step callable with host-numpy batch args from
+    a multi-host (jax.distributed) run.
+
+    Single-controller jit happily places numpy args per its in_shardings;
+    multi-controller jit rejects numpy destined for a NON-replicated
+    sharding ("Passing non-trivial shardings for numpy inputs is not
+    allowed").  Every process in our runs holds the identical full global
+    batch (the loaders/samplers are seed-synchronized — the per-host-
+    slice feeding variant is scripts/multihost_integration.py), so such
+    args lift losslessly via jax.make_array_from_callback, each process
+    contributing the shards it owns.  Single-process behavior is
+    untouched; jitted attributes (.raw, .loss_fn, ...) are preserved.
+    """
+    from jax.sharding import NamedSharding
+    lift = {i: s for i, s in enumerate(in_shardings)
+            if isinstance(s, NamedSharding) and not s.is_fully_replicated}
+    if not lift:
+        return fn
+
+    @functools.wraps(fn, updated=())
+    def wrapped(*args):
+        if jax.process_count() == 1:
+            return fn(*args)
+        args = list(args)
+        for i, sh in lift.items():
+            a = args[i]
+            if isinstance(a, np.ndarray):
+                args[i] = jax.make_array_from_callback(
+                    a.shape, sh, lambda idx, a=a: a[idx])
+        return fn(*args)
+
+    for attr in ("raw", "loss_fn", "tx"):
+        if hasattr(fn, attr):
+            setattr(wrapped, attr, getattr(fn, attr))
+    return wrapped
 
 
 class TrainState(NamedTuple):
@@ -615,6 +654,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         jitted.loss_fn = loss_fn
         jitted.tx = tx
         jitted.raw = _run
+        if jit_kwargs:
+            jitted = _multiprocess_lift(jitted, jit_kwargs["in_shardings"])
         return jitted
 
     if combined_store_rows is not None:
@@ -665,6 +706,9 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         combined_step = jax.jit(_combined_gather_run, donate_argnums=(0,),
                                 **jit_kwargs)
         combined_step.raw = _combined_gather_run
+        if jit_kwargs:
+            combined_step = _multiprocess_lift(
+                combined_step, jit_kwargs["in_shardings"])
         return combined_step
 
     def _gather_run(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
@@ -695,6 +739,9 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                            idx_t, yt, mask_t, scalars, rng)
 
     train_step_gather.raw = _gather_run
+    if jit_kwargs:
+        train_step_gather = _multiprocess_lift(
+            train_step_gather, jit_kwargs["in_shardings"])
     return train_step_gather
 
 
@@ -756,6 +803,9 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
         return TrainState(new_params, new_stats, new_opt,
                           state.step + 1), metrics
 
+    if jit_kwargs:
+        accum_step = _multiprocess_lift(accum_step,
+                                        jit_kwargs["in_shardings"])
     return accum_step
 
 
@@ -811,6 +861,9 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
             xs = (idx_s, ys, mask_s, idx_t, yt, mask_t, scalars)
             return jax.lax.scan(body, state, xs, unroll=unroll)
 
+        if jit_kwargs:
+            multi_step_combined = _multiprocess_lift(
+                multi_step_combined, jit_kwargs["in_shardings"])
         return multi_step_combined
 
     jit_kwargs = {}
@@ -837,6 +890,9 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
         # ~140 us sub-3 us op tail of the op-count-bound step
         return jax.lax.scan(body, state, xs, unroll=unroll)
 
+    if jit_kwargs:
+        multi_step = _multiprocess_lift(multi_step,
+                                        jit_kwargs["in_shardings"])
     return multi_step
 
 
@@ -1027,6 +1083,9 @@ def make_multi_eval_step(model: VideoModel,
             body, (zero, zero, zero, zero), (idx, ys, mask))
         return {"loss_sum": loss_sum, "top1": top1, "top5": top5, "n": n}
 
+    if jit_kwargs:
+        multi_eval = _multiprocess_lift(multi_eval,
+                                        jit_kwargs["in_shardings"])
     return multi_eval
 
 
@@ -1075,6 +1134,8 @@ def make_eval_step(model: VideoModel,
     if not gather_on_device:
         jitted = jax.jit(_eval, **jit_kwargs)
         jitted.raw = _eval
+        if jit_kwargs:
+            jitted = _multiprocess_lift(jitted, jit_kwargs["in_shardings"])
         return jitted
 
     def _eval_gather(params, batch_stats, store, idx, y, mask):
@@ -1084,5 +1145,7 @@ def make_eval_step(model: VideoModel,
 
     eval_step_gather = jax.jit(_eval_gather, **jit_kwargs)
     eval_step_gather.raw = _eval_gather
-
+    if jit_kwargs:
+        eval_step_gather = _multiprocess_lift(eval_step_gather,
+                                              jit_kwargs["in_shardings"])
     return eval_step_gather
