@@ -39,18 +39,25 @@ SEG, FDIM = 5, 16
 
 # benchmark task: the verified DA-wins recipe (BENCH_NOTES "DA wins"),
 # at 8 classes — the reference's accuracy() hard-codes topk=(1,5)
-# (main.py:814), so num_class must be >= 5 for its own meters
+# (main.py:814), so num_class must be >= 5 for its own meters.
+# feature_dim/fc_dim/batch are overridable to the published widths
+# (2048/512/128) — run WITHOUT the CPU env overrides so our arm trains
+# on the TPU while the reference arm stays torch CPU.
 BENCH = dict(angle=60.0, centroid_scale=4.0, videos=128, num_class=8,
              epochs=120, lr=0.05, dropout=0.0, batch=16,
-             beta=(-1.0, -1.0, -1.0), gamma=0.003)
+             beta=(-1.0, -1.0, -1.0), gamma=0.003,
+             feature_dim=FDIM, fc_dim=16)
 
 # per-variant loss weights (DAN's alpha=0.2 is the r3-tuned stable value;
-# MCD needs mu > 0 to act — reference default is 0, main.py:538-556)
+# MCD needs mu > 0 to act — reference default is 0, main.py:538-556 —
+# and mu≈1 to act USEFULLY: both the toy-scale and published-width DA
+# studies (BENCH_NOTES) show mu=0.1 is too weak and can hurt, which a
+# first A/B run at mu=0.1 reproduced in BOTH arms)
 VARIANTS = {
     "none":    dict(alpha=1.0, mu=0.0),
     "revgrad": dict(alpha=1.0, mu=0.0),
     "dan":     dict(alpha=0.2, mu=0.0),
-    "mcd":     dict(alpha=1.0, mu=0.1),
+    "mcd":     dict(alpha=1.0, mu=1.0),
 }
 
 
@@ -65,13 +72,16 @@ def run_ours(seed: int, variant: str, mesh: bool) -> float:
     v = VARIANTS[variant]
     args = argparse.Namespace(
         angle=BENCH["angle"], centroid_scale=BENCH["centroid_scale"],
-        videos=BENCH["videos"], num_class=BENCH["num_class"], fc_dim=16,
+        videos=BENCH["videos"], num_class=BENCH["num_class"],
+        fc_dim=BENCH["fc_dim"], feature_dim=BENCH["feature_dim"],
+        batch=(BENCH["batch"],) * 3,
         epochs=BENCH["epochs"], lr=BENCH["lr"], alpha=v["alpha"],
         gamma=BENCH["gamma"], mu=v["mu"], dropout=BENCH["dropout"],
         fix_task=False, beta=list(BENCH["beta"]), place_adv=["Y", "Y", "Y"],
         dann_lr=False, compute_dtype="float32",
         da_variant={"revgrad": "full", "dan": "dan",
                     "mcd": "mcd"}.get(variant, "full"),
+        device_store=BENCH["feature_dim"] >= 256,
         mesh=mesh)
     return float(run_one(seed, variant != "none", args))
 
@@ -80,7 +90,7 @@ def ref_flags(variant: str):
     v = VARIANTS[variant]
     flags = ["--baseline_type", "video", "--frame_aggregation", "trn-m",
              "--num_segments", str(SEG), "--val_segments", str(SEG),
-             "--add_fc", "1", "--fc_dim", "16",
+             "--add_fc", "1", "--fc_dim", str(BENCH["fc_dim"]),
              "--dropout_i", str(BENCH["dropout"]),
              "--dropout_v", str(BENCH["dropout"]),
              "--use_attn", "TransAttn", "--optimizer", "SGD",
@@ -117,10 +127,10 @@ def run_reference(seed: int, variant: str) -> float:
     src, tgt, val = make_rotated_domain_pair(
         num_source=BENCH["videos"], num_target=BENCH["videos"],
         num_val=BENCH["videos"], num_class=BENCH["num_class"],
-        feature_dim=FDIM, angle_deg=BENCH["angle"],
+        feature_dim=BENCH["feature_dim"], angle_deg=BENCH["angle"],
         centroid_scale=BENCH["centroid_scale"], seed=seed, task_seed=seed)
 
-    rh.set_feature_dim(FDIM)
+    rh.set_feature_dim(BENCH["feature_dim"])
     args = rh.make_args(ref_flags(variant))
     torch.manual_seed(seed)
     model = rh.build_ref_model(args, BENCH["num_class"])
@@ -150,6 +160,15 @@ def run_reference(seed: int, variant: str) -> float:
     best = 0.0
     v = VARIANTS[variant]
     for epoch in range(1, BENCH["epochs"] + 1):
+        # the OUTER loop's lr schedule (main.py:236-237): ref_train runs
+        # only the inner train(), so the epoch-boundary decay at
+        # lr_steps (default 60/100) must be replicated here or the
+        # reference arm trains at constant lr — an unfair A/B (our
+        # Trainer decays; first run of this script showed a systematic
+        # ~10-pt artifact from exactly this)
+        if args.lr_adaptive == "none" and epoch in args.lr_steps:
+            for group in optimizer.param_groups:
+                group["lr"] /= args.lr_decay
         rh.ref_train(args, model, BENCH["num_class"], torchify(ls),
                      torchify(lt), optimizer=optimizer, alpha=v["alpha"],
                      epoch=epoch)
@@ -168,11 +187,22 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=None,
                     help="override BENCH epochs (quick runs)")
+    ap.add_argument("--feature_dim", type=int, default=None,
+                    help="published width: 2048 (run WITHOUT the CPU env "
+                         "overrides so our arm uses the TPU)")
+    ap.add_argument("--fc_dim", type=int, default=None,
+                    help="published width: 512")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-domain batch size (published: 128; kept "
+                         "symmetric so the reference arm's zip'd batch "
+                         "lists stay aligned)")
+    ap.add_argument("--videos", type=int, default=None)
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
-    if args.epochs:
-        BENCH["epochs"] = args.epochs
+    for k in ("epochs", "feature_dim", "fc_dim", "batch", "videos"):
+        if getattr(args, k) is not None:
+            BENCH[k] = getattr(args, k)
 
     rows, summary = [], {}
     for variant in args.variants:
