@@ -144,8 +144,12 @@ def gaussian_kernel(source: jax.Array, target: jax.Array,
     (reference loss.py:46-59, including the 'guassian' behaviour).
     With row masks the bandwidth statistic is computed over valid-row
     pairs only; masked rows' kernel VALUES are still produced (static
-    shapes) and must be weighted out by the caller.
+    shapes) and must be weighted out by the caller.  Masks must be
+    given for both streams or neither.
     """
+    if (mask_source is None) != (mask_target is None):
+        raise ValueError("mask_source and mask_target must be given "
+                         "together (both or neither)")
     source = _as_2d(source)
     target = _as_2d(target)
     n = source.shape[0] + target.shape[0]
@@ -161,6 +165,13 @@ def gaussian_kernel(source: jax.Array, target: jax.Array,
         n_eff = jnp.sum(m)
         bandwidth = (jax.lax.stop_gradient(jnp.sum(l2 * w))
                      / jnp.maximum(n_eff * n_eff - n_eff, 1.0))
+        # <=1 valid row total (a fully-padded sub-batch chunk) gives a
+        # zero bandwidth statistic -> l2/0 NaN on the diagonal, which a
+        # downstream masked mean cannot weight out (NaN*0=NaN).  Any
+        # positive bandwidth is equivalent there (the valid-pair kernel
+        # values are exp(0)=1 regardless), so floor it to 1.
+        bandwidth = jnp.where(bandwidth > 0.0,
+                              bandwidth, jnp.ones_like(bandwidth))
     else:
         bandwidth = jax.lax.stop_gradient(jnp.sum(l2)) / (n * n - n)
     bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ta3n_tpu.models.layers import dense
+from ta3n_tpu.models.layers import (_QUANT_MIN_DIM, dense, int8_matmul,
+                                    torch_default_uniform)
 from ta3n_tpu.ops.relation import build_relation_plan
 from ta3n_tpu.ops.trn_fused import trn_multiscale_fused, trn_multiscale_infer
 
@@ -124,7 +125,6 @@ class RelationModuleMultiScale(nn.Module):
         # torch DEFAULT Linear init — the reference's normal_(0.001) loop
         # never touches the TRN fusion Linears (TRNmodule.py:50; see
         # layers.torch_default_uniform for why this is load-bearing)
-        from ta3n_tpu.models.layers import torch_default_uniform
         weights, biases = [], []
         for scale_id, k in enumerate(plan.scales):
             weights.append(self.param(f"w_scale_{scale_id}",
@@ -143,7 +143,6 @@ class RelationModuleMultiScale(nn.Module):
                 self.num_frames, self.subsample_num)
 
         # XLA path: one batched GEMM per scale
-        from ta3n_tpu.models.layers import _QUANT_MIN_DIM, int8_matmul
         outs = []
         for scale_id, (k, subsets) in enumerate(zip(plan.scales,
                                                     plan.subsets)):

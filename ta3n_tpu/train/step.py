@@ -17,7 +17,6 @@ Design vs the reference:
 from __future__ import annotations
 
 import functools
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -153,6 +152,23 @@ def _multiprocess_lift(fn, in_shardings):
         if hasattr(fn, attr):
             setattr(wrapped, attr, getattr(fn, attr))
     return wrapped
+
+
+def _jit_lifted(fn, donate_argnums=(), **jit_kwargs):
+    """jax.jit + the multi-host numpy lift in ONE place.
+
+    Every step/eval builder funnels through this so no jit site can
+    ship non-replicated in_shardings without the lift (forgetting the
+    lift fails only on a multi-host run, with "Passing non-trivial
+    shardings for numpy inputs is not allowed").  Attaches ``.raw = fn``;
+    attributes set on the returned object afterwards stick (the lift
+    wrapper is a plain function object).
+    """
+    jitted = jax.jit(fn, donate_argnums=donate_argnums, **jit_kwargs)
+    jitted.raw = fn
+    if jit_kwargs.get("in_shardings") is not None:
+        jitted = _multiprocess_lift(jitted, jit_kwargs["in_shardings"])
+    return jitted
 
 
 class TrainState(NamedTuple):
@@ -329,12 +345,24 @@ def _discrepancy_loss(feat_s, feat_t, da: DAConfig, add_fc: int,
                    mask_source=ms, mask_target=mt)
 
     def chunked_mean(fn, fs, ft):
+        # the reference strips dummy rows BEFORE chunking (removeDummy,
+        # main.py:420-422 -> view at main.py:488-490), so it never
+        # averages over an all-padding chunk; with static shapes the
+        # analogue is weighting each chunk by whether it holds any
+        # valid source AND target rows (masks are valid-first, so only
+        # trailing chunks can be fully padded)
         size_batch = min(_DIS_CHUNK_ROWS, fs.shape[0])
-        chunks = [fn(fs[i:i + size_batch], ft[i:i + size_batch],
-                     None if ms is None else ms[i:i + size_batch],
-                     None if mt is None else mt[i:i + size_batch])
-                  for i in range(0, fs.shape[0], size_batch)]
-        return sum(chunks) / len(chunks)
+        losses, weights = [], []
+        for i in range(0, fs.shape[0], size_batch):
+            cs = None if ms is None else ms[i:i + size_batch]
+            ct = None if mt is None else mt[i:i + size_batch]
+            losses.append(fn(fs[i:i + size_batch], ft[i:i + size_batch],
+                             cs, ct))
+            weights.append(
+                jnp.asarray(1.0) if cs is None else
+                ((jnp.sum(cs) > 0) & (jnp.sum(ct) > 0)).astype(jnp.float32))
+        w = jnp.stack(weights)
+        return jnp.sum(jnp.stack(losses) * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     muls = kernel_muls + [kernel_muls[-1]] * add_fc
     nums = kernel_nums + [kernel_nums[-1]] * add_fc
@@ -650,12 +678,9 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                 in_shardings=(st, data, data, data, data, data, data,
                               rep, rep),
                 out_shardings=(st, rep))
-        jitted = jax.jit(_run, donate_argnums=(0,), **jit_kwargs)
+        jitted = _jit_lifted(_run, donate_argnums=(0,), **jit_kwargs)
         jitted.loss_fn = loss_fn
         jitted.tx = tx
-        jitted.raw = _run
-        if jit_kwargs:
-            jitted = _multiprocess_lift(jitted, jit_kwargs["in_shardings"])
         return jitted
 
     if combined_store_rows is not None:
@@ -703,13 +728,8 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                               data, rep, rep),
                 out_shardings=(st, rep))
 
-        combined_step = jax.jit(_combined_gather_run, donate_argnums=(0,),
-                                **jit_kwargs)
-        combined_step.raw = _combined_gather_run
-        if jit_kwargs:
-            combined_step = _multiprocess_lift(
-                combined_step, jit_kwargs["in_shardings"])
-        return combined_step
+        return _jit_lifted(_combined_gather_run, donate_argnums=(0,),
+                           **jit_kwargs)
 
     def _gather_run(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
                     mask_t, scalars, rng):
@@ -731,18 +751,7 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
                           data, rep, rep),
             out_shardings=(st, rep))
 
-    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
-    def train_step_gather(state: TrainState, store_s, idx_s, ys, mask_s,
-                          store_t, idx_t, yt, mask_t,
-                          scalars: StepScalars, rng):
-        return _gather_run(state, store_s, idx_s, ys, mask_s, store_t,
-                           idx_t, yt, mask_t, scalars, rng)
-
-    train_step_gather.raw = _gather_run
-    if jit_kwargs:
-        train_step_gather = _multiprocess_lift(
-            train_step_gather, jit_kwargs["in_shardings"])
-    return train_step_gather
+    return _jit_lifted(_gather_run, donate_argnums=(0,), **jit_kwargs)
 
 
 def make_grad_accum_step(model: VideoModel, da: DAConfig,
@@ -772,7 +781,6 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
                           rep, rep),
             out_shardings=(rep, rep))
 
-    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def accum_step(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
                    scalars: StepScalars, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -803,10 +811,7 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
         return TrainState(new_params, new_stats, new_opt,
                           state.step + 1), metrics
 
-    if jit_kwargs:
-        accum_step = _multiprocess_lift(accum_step,
-                                        jit_kwargs["in_shardings"])
-    return accum_step
+    return _jit_lifted(accum_step, donate_argnums=(0,), **jit_kwargs)
 
 
 def make_multi_train_step(model: VideoModel, da: DAConfig,
@@ -850,7 +855,6 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
                               kdata, kdata, rep, rep),
                 out_shardings=(st, rep))
 
-        @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
         def multi_step_combined(state, store, idx_s, ys, mask_s, idx_t,
                                 yt, mask_t, scalars: StepScalars, rng):
             def body(st, per_step):
@@ -861,10 +865,8 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
             xs = (idx_s, ys, mask_s, idx_t, yt, mask_t, scalars)
             return jax.lax.scan(body, state, xs, unroll=unroll)
 
-        if jit_kwargs:
-            multi_step_combined = _multiprocess_lift(
-                multi_step_combined, jit_kwargs["in_shardings"])
-        return multi_step_combined
+        return _jit_lifted(multi_step_combined, donate_argnums=(0,),
+                           **jit_kwargs)
 
     jit_kwargs = {}
     if mesh is not None:
@@ -875,7 +877,6 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
                           kdata, kdata, rep, rep),
             out_shardings=(st, rep))
 
-    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def multi_step(state, store_s, idx_s, ys, mask_s, store_t, idx_t, yt,
                    mask_t, scalars: StepScalars, rng):
         def body(st, per_step):
@@ -890,10 +891,7 @@ def make_multi_train_step(model: VideoModel, da: DAConfig,
         # ~140 us sub-3 us op tail of the op-count-bound step
         return jax.lax.scan(body, state, xs, unroll=unroll)
 
-    if jit_kwargs:
-        multi_step = _multiprocess_lift(multi_step,
-                                        jit_kwargs["in_shardings"])
-    return multi_step
+    return _jit_lifted(multi_step, donate_argnums=(0,), **jit_kwargs)
 
 
 def make_sampled_multi_step(model: VideoModel, da: DAConfig,
@@ -939,7 +937,6 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
         jit_kwargs = dict(in_shardings=(st, rep, rep, rep, rep),
                           out_shardings=(st, rep))
 
-    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def multi_step(state, store_s, store_t, scalars: StepScalars, rng):
         k = scalars.lr.shape[0]
         spe = sampler_s.steps_per_epoch  # == sampler_t's (zip-shortest)
@@ -966,7 +963,7 @@ def make_sampled_multi_step(model: VideoModel, da: DAConfig,
 
         return jax.lax.scan(body, state, scalars)
 
-    return multi_step
+    return _jit_lifted(multi_step, donate_argnums=(0,), **jit_kwargs)
 
 
 def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
@@ -1004,7 +1001,6 @@ def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
         jit_kwargs = dict(
             in_shardings=(st,) + (rep,) * 8, out_shardings=(st, rep))
 
-    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def shard_step(state, shard_s, shard_t, scalars: StepScalars, rng,
                    sid_s, j0_s, sid_t, j0_t):
         k = scalars.lr.shape[0]
@@ -1028,7 +1024,7 @@ def make_sampled_shard_multi_step(model: VideoModel, da: DAConfig,
         return jax.lax.scan(body, state,
                             (scalars, jnp.arange(k, dtype=jnp.int32)))
 
-    return shard_step
+    return _jit_lifted(shard_step, donate_argnums=(0,), **jit_kwargs)
 
 
 def make_multi_eval_step(model: VideoModel,
@@ -1057,7 +1053,6 @@ def make_multi_eval_step(model: VideoModel,
             in_shardings=(pst, pst, rep, kdata, kdata, kdata),
             out_shardings=rep)
 
-    @partial(jax.jit, **jit_kwargs)
     def multi_eval(params, batch_stats, store, idx, ys, mask):
         variables = {"params": params}
         if use_bn:
@@ -1083,10 +1078,7 @@ def make_multi_eval_step(model: VideoModel,
             body, (zero, zero, zero, zero), (idx, ys, mask))
         return {"loss_sum": loss_sum, "top1": top1, "top5": top5, "n": n}
 
-    if jit_kwargs:
-        multi_eval = _multiprocess_lift(multi_eval,
-                                        jit_kwargs["in_shardings"])
-    return multi_eval
+    return _jit_lifted(multi_eval, **jit_kwargs)
 
 
 def make_eval_step(model: VideoModel,
@@ -1132,20 +1124,11 @@ def make_eval_step(model: VideoModel,
         }
 
     if not gather_on_device:
-        jitted = jax.jit(_eval, **jit_kwargs)
-        jitted.raw = _eval
-        if jit_kwargs:
-            jitted = _multiprocess_lift(jitted, jit_kwargs["in_shardings"])
-        return jitted
+        return _jit_lifted(_eval, **jit_kwargs)
 
     def _eval_gather(params, batch_stats, store, idx, y, mask):
         x = device_gather(store, idx)
         x = x * mask[:, None, None].astype(x.dtype)
         return _eval(params, batch_stats, x, y, mask)
 
-    eval_step_gather = jax.jit(_eval_gather, **jit_kwargs)
-    eval_step_gather.raw = _eval_gather
-    if jit_kwargs:
-        eval_step_gather = _multiprocess_lift(eval_step_gather,
-                                              jit_kwargs["in_shardings"])
-    return eval_step_gather
+    return _jit_lifted(_eval_gather, **jit_kwargs)

@@ -170,3 +170,41 @@ def test_coral_reference_formula():
     want = np.sum((cov(s) - cov(t)) ** 2) / (4 * 16)
     got = float(CORAL(jnp.asarray(s), jnp.asarray(t)))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_mmd_rbf_degenerate_masks_finite():
+    """<=1 valid row total in a masked slice used to zero the RBF
+    bandwidth statistic -> l2/0 NaN on the kernel diagonal, which the
+    downstream masked block means cannot weight out (NaN*0=NaN) -> NaN
+    loss AND gradients (round-4 review finding; reached via
+    _discrepancy_loss's 256-row chunking when a trailing chunk is fully
+    padded).  Any positive bandwidth is equivalent for the surviving
+    valid pairs (exp(0)=1), so gaussian_kernel floors it; the loss must
+    stay finite and all-padded slices must contribute exactly 0."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    one = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    zero = jnp.zeros(4)
+
+    assert np.isfinite(float(mmd_rbf(s, t, mask_source=one,
+                                     mask_target=zero)))
+    assert float(mmd_rbf(s, t, mask_source=zero, mask_target=zero)) == 0.0
+    assert float(JAN([s, s], [t, t], mask_source=zero,
+                     mask_target=zero)) == 0.0
+    # identical valid rows also give a zero bandwidth statistic
+    si = jnp.ones((4, 8))
+    ones = jnp.ones(4)
+    assert np.isfinite(float(mmd_rbf(si, si, mask_source=ones,
+                                     mask_target=ones)))
+
+    # gradients must be finite too (the Trainer's nan_guard aborts on NaN)
+    g = jax.grad(lambda a: mmd_rbf(a, t, mask_source=one,
+                                   mask_target=zero))(s)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # masks come in pairs: one-sided masks are a caller bug
+    with pytest.raises(ValueError, match="both or neither"):
+        gaussian_kernel(s, t, mask_source=one)

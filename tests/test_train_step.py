@@ -270,3 +270,39 @@ def test_discrepancy_subbatch_matches_reference():
     want = (float(CORAL(feat_s[0][:256], feat_t[0][:256]))
             + float(CORAL(feat_s[0][256:], feat_t[0][256:]))) / 2.0
     np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_discrepancy_padded_chunks_weighted_out():
+    """A trailing fully-padded 256-row chunk must not dilute (or NaN)
+    the per-chunk discrepancy mean: the reference strips dummy rows
+    BEFORE chunking (removeDummy main.py:420-422 -> view main.py:488-490),
+    so with 200 valid of n_pair=512 rows it would average over ONE
+    chunk.  Round-4 review finding: the padded chunk used to produce a
+    NaN bandwidth (see test_mmd_rbf_degenerate_masks_finite) and was
+    counted in the denominator."""
+    from ta3n_tpu.losses.losses import CORAL, mmd_rbf
+    from ta3n_tpu.train.step import _discrepancy_loss
+
+    rng = np.random.default_rng(1)
+    n, valid = 512, 200
+    fs = [jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))]
+    ft = [jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32) + 0.3)]
+    m = jnp.asarray((np.arange(n) < valid).astype(np.float32))
+
+    da = DAConfig(use_target="uSv", dis_DA="DAN",
+                  place_dis=("Y", "N", "N"))
+    ours = float(_discrepancy_loss(fs, ft, da, add_fc=1, n_pair=n,
+                                   mask_s=m, mask_t=m))
+    assert np.isfinite(ours)
+    want = float(mmd_rbf(fs[0][:256], ft[0][:256], kernel_mul=2.0,
+                         kernel_num=2, ver=2, mask_source=m[:256],
+                         mask_target=m[:256]))
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+    da2 = DAConfig(use_target="uSv", dis_DA="CORAL",
+                   place_dis=("Y", "N", "N"))
+    ours2 = float(_discrepancy_loss(fs, ft, da2, add_fc=1, n_pair=n,
+                                    mask_s=m, mask_t=m))
+    want2 = float(CORAL(fs[0][:256], ft[0][:256], mask_source=m[:256],
+                        mask_target=m[:256]))
+    np.testing.assert_allclose(ours2, want2, rtol=1e-5)
