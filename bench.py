@@ -88,16 +88,7 @@ WARMUP, CALLS, WINDOWS = 3, 20, 3
 STORE_S_ROWS, STORE_T_ROWS = 20000, 12000
 
 
-def measure_roundtrip() -> float:
-    tiny = jnp.zeros(()) + 1.0
-    float(tiny)
-    # warm the timed program itself: a cold remote compile costs
-    # 20-290 s (CLAUDE.md) and would corrupt the subtracted roundtrip
-    float(tiny + 1.0)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(tiny + 1.0)
-    return (time.perf_counter() - t0) / 5
+from ta3n_tpu.timing import measure_roundtrip  # noqa: E402 — shared warm-roundtrip helper
 
 
 def main():

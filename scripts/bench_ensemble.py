@@ -23,7 +23,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_prng_impl", "rbg")
@@ -40,15 +39,7 @@ WARMUP, CALLS, WINDOWS = 2, 10, 3
 STORE_S_ROWS, STORE_T_ROWS = 20000, 12000
 
 
-def measure_roundtrip() -> float:
-    tiny = jnp.zeros(()) + 1.0
-    float(tiny)
-    # warm the timed program itself (cold remote compiles cost 20-290 s)
-    float(tiny + 1.0)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(tiny + 1.0)
-    return (time.perf_counter() - t0) / 5
+from ta3n_tpu.timing import measure_roundtrip  # noqa: E402 — shared warm-roundtrip helper
 
 
 def main():

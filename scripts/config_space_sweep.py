@@ -97,16 +97,26 @@ def _effective_values(combo: dict):
     Mirrors the reference's gating: with use_target='none' every DA
     mechanism is off regardless of its flag (main.py:454,507,541,547 all
     test use_target; configs_from_args zeroes use_bn/ens_DA the same
-    way), and attentive_entropy is a no-op without attention
-    (main.py:558 tests use_attn != 'none')."""
+    way), attentive_entropy is a no-op without attention (main.py:558
+    tests use_attn != 'none'), and relation-level attention only runs
+    under an aggregation that reaches its branch: 'general' needs
+    trn/trn-m (models.py:643-648 / video_model.py GeneralAttn call) and
+    'TransAttn' needs avgpool or trn/trn-m (models.py:427-430,643-646)
+    — under rnn/temconv/none aggregation use_attn never executes."""
     eff = set()
     da_axes = ("dis_DA", "adv_DA", "add_loss_DA", "ens_DA", "use_bn")
+    agg = combo["frame_aggregation"]
+    attn_aggs = {"TransAttn": ("avgpool", "trn", "trn-m"),
+                 "general": ("trn", "trn-m")}
     for k in AXES:
         v = combo[k]
         if k in da_axes and combo["use_target"] == "none":
             v = "none"
         if (k == "add_loss_DA" and v == "attentive_entropy"
                 and combo["use_attn"] == "none"):
+            v = "none"
+        if k == "use_attn" and agg not in attn_aggs.get(v, AXES[
+                "frame_aggregation"]):
             v = "none"
         eff.add((k, v))
     return eff
@@ -150,6 +160,19 @@ def covering_combos(min_cover: int = 2):
                 and combo["use_attn"] == "none"):
             combo["use_attn"] = neediest("use_attn",
                                          ("TransAttn", "general"))
+        # relation-level attention only executes under an aggregation
+        # that reaches it (see _effective_values); without this repair
+        # the greedy can request 'general' forever under temconv and
+        # never satisfy its coverage
+        if (combo["use_attn"] == "general"
+                and combo["frame_aggregation"] not in ("trn", "trn-m")):
+            combo["frame_aggregation"] = neediest("frame_aggregation",
+                                                  ("trn", "trn-m"))
+        elif (combo["use_attn"] == "TransAttn"
+              and combo["frame_aggregation"] not in ("avgpool", "trn",
+                                                     "trn-m")):
+            combo["frame_aggregation"] = neediest(
+                "frame_aggregation", ("avgpool", "trn", "trn-m"))
         combos.append(combo)
         for kv in _effective_values(combo):
             if kv in need and need[kv] > 0:

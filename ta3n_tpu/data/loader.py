@@ -203,13 +203,10 @@ def device_prefetch(iterator: Iterator, sharding=None,
         if multiprocess and sharding is not None \
                 and not sharding.is_fully_replicated:
             # multi-host: device_put of host-numpy to a non-replicated
-            # global sharding is rejected; every process holds the same
-            # full batch (seed-synchronized loaders), so lift it with
-            # each process contributing the shards it owns
-            import numpy as _np
-            a = _np.asarray(a)
-            return jax.make_array_from_callback(
-                a.shape, sharding, lambda idx, a=a: a[idx])
+            # global sharding is rejected; lift_to_global encodes the
+            # every-process-holds-the-full-batch contract in one place
+            from ta3n_tpu.parallel.mesh import lift_to_global
+            return lift_to_global(a, sharding)
         return jax.device_put(a, sharding)
 
     def put(batch):

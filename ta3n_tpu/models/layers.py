@@ -52,6 +52,21 @@ def torch_default_uniform(fan_in: Optional[int] = None):
 _QUANT_MIN_DIM = 128
 
 
+def _activation_scale(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Per-row activation scale for the asymmetric 256-level grid.
+
+    Degenerate rows (max == min) have no range for the asymmetric grid;
+    falling back to scale 1.0 would reconstruct a constant-c row as
+    round(c) (0.3 -> 0, a 100% error).  Fall back to the symmetric
+    max-abs/127 grid instead: c/(|c|/127) rounds to +/-127 and the
+    rank-1 zero-point correction reconstructs c exactly (to 1 ulp).
+    All-zero rows keep scale 1.0 (reconstruct 0 exactly).
+    """
+    rng = hi - lo
+    return jnp.where(rng > 0, rng / 255.0,
+                     jnp.where(jnp.abs(hi) > 0, jnp.abs(hi) / 127.0, 1.0))
+
+
 def int8_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """W8A8 dynamically-quantized ``x @ kernel`` on the int8 MXU path.
 
@@ -80,8 +95,7 @@ def int8_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
     hi = jnp.max(xf, axis=-1, keepdims=True)
     lo = jnp.min(xf, axis=-1, keepdims=True)
-    sx = (hi - lo) / 255.0
-    sx = jnp.where(sx > 0, sx, 1.0)
+    sx = _activation_scale(hi, lo)
     zp = jnp.round(lo / sx) + 128.0                      # [..., 1]
     x8 = jnp.clip(jnp.round(xf / sx) - zp, -128, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -107,8 +121,7 @@ def int8_batched_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
     hi = jnp.max(xf, axis=-1, keepdims=True)                   # [b,r,1]
     lo = jnp.min(xf, axis=-1, keepdims=True)
-    sx = (hi - lo) / 255.0
-    sx = jnp.where(sx > 0, sx, 1.0)
+    sx = _activation_scale(hi, lo)
     zp = jnp.round(lo / sx) + 128.0
     x8 = jnp.clip(jnp.round(xf / sx) - zp, -128, 127).astype(jnp.int8)
     acc = jnp.einsum("bri,rio->bro", x8, w8,

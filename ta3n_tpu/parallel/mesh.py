@@ -21,7 +21,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "make_mesh_2d", "batch_sharding",
-           "replicated_sharding", "pad_to_multiple", "shard_train_step"]
+           "replicated_sharding", "pad_to_multiple", "shard_train_step",
+           "lift_to_global"]
+
+
+def lift_to_global(a: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Lift a host-numpy array every process holds IN FULL into a global
+    array under ``sharding``, each process contributing the shards it
+    owns.
+
+    This is the one place that encodes the multi-host batch contract:
+    every process holds the identical full global batch (loaders and
+    samplers are seed-synchronized; the per-host-slice feeding variant
+    lives in scripts/multihost_integration.py).  Needed because
+    multi-controller jit / device_put reject host-numpy destined for a
+    non-replicated sharding ("Passing non-trivial shardings for numpy
+    inputs is not allowed").  Callers: train.step._multiprocess_lift,
+    data.loader.device_prefetch.
+    """
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sharding,
+                                        lambda idx: a[idx])
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,

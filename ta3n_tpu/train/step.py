@@ -126,11 +126,13 @@ def _multiprocess_lift(fn, in_shardings):
     allowed").  Every process in our runs holds the identical full global
     batch (the loaders/samplers are seed-synchronized — the per-host-
     slice feeding variant is scripts/multihost_integration.py), so such
-    args lift losslessly via jax.make_array_from_callback, each process
+    args lift losslessly via parallel.mesh.lift_to_global, each process
     contributing the shards it owns.  Single-process behavior is
     untouched; jitted attributes (.raw, .loss_fn, ...) are preserved.
     """
     from jax.sharding import NamedSharding
+
+    from ta3n_tpu.parallel.mesh import lift_to_global
     lift = {i: s for i, s in enumerate(in_shardings)
             if isinstance(s, NamedSharding) and not s.is_fully_replicated}
     if not lift:
@@ -142,10 +144,8 @@ def _multiprocess_lift(fn, in_shardings):
             return fn(*args)
         args = list(args)
         for i, sh in lift.items():
-            a = args[i]
-            if isinstance(a, np.ndarray):
-                args[i] = jax.make_array_from_callback(
-                    a.shape, sh, lambda idx, a=a: a[idx])
+            if isinstance(args[i], np.ndarray):
+                args[i] = lift_to_global(args[i], sh)
         return fn(*args)
 
     for attr in ("raw", "loss_fn", "tx"):

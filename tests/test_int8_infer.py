@@ -110,6 +110,29 @@ def test_int8_asymmetric_beats_symmetric_on_relu_inputs():
     assert np.abs(got - want).mean() < np.abs(sym - want).mean()
 
 
+def test_int8_constant_rows_exact():
+    """A degenerate activation row (max == min != 0) has no range for the
+    asymmetric grid; the scale-1.0 fallback used to reconstruct such a
+    row as round(c) — an identity product of all-0.3 returned 0.0 and
+    all-0.7 returned 1.0 (round-4 review finding).  The fallback is now
+    the symmetric max-abs/127 grid, which is exact to ~1 ulp for
+    constant rows; all-zero rows stay exactly zero."""
+    eye = jnp.eye(128, dtype=jnp.float32)
+    for c in (0.3, 0.7, -0.45, 0.0):
+        x = jnp.full((2, 128), c, dtype=jnp.float32)
+        got = np.asarray(int8_matmul(x, eye))
+        np.testing.assert_allclose(got, np.full((2, 128), c), rtol=2e-6,
+                                   atol=1e-7)
+    # batched variant: one degenerate head row among normal rows
+    rng = np.random.default_rng(5)
+    xb = rng.normal(size=(3, 2, 128)).astype(np.float32)
+    xb[1, 0, :] = 0.3
+    w = np.stack([np.eye(128), np.eye(128)]).astype(np.float32)
+    got = np.asarray(int8_batched_matmul(jnp.asarray(xb), jnp.asarray(w)))
+    np.testing.assert_allclose(got[1, 0], np.full(128, 0.3), rtol=2e-6,
+                               atol=1e-7)
+
+
 def test_int8_batched_matmul_matches_einsum():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(4, 2, 128)).astype(np.float32)
