@@ -154,9 +154,15 @@ def gaussian_kernel(source: jax.Array, target: jax.Array,
     target = _as_2d(target)
     n = source.shape[0] + target.shape[0]
     total = jnp.concatenate([source, target], axis=0)
-    sq = jnp.sum(total * total, axis=1)
-    l2 = sq[:, None] + sq[None, :] - 2.0 * (total @ total.T)
-    l2 = jnp.maximum(l2, 0.0)
+    # L2^2 by direct difference (subtract-then-square, loss.py:49-52) —
+    # NOT the GEMM expansion |x|^2+|y|^2-2xy.  The expansion cancels
+    # catastrophically whenever pairwise distances are small relative to
+    # row norms — exactly the early-training regime (normal_(0.001)
+    # init makes all rows near-duplicates): ~1e-3 relative kernel error
+    # in f32, and garbage under the TPU's default-bf16 dot.  The diff
+    # tensor is [n, n, d] but XLA fuses broadcast-sub-square-reduce
+    # without materializing it; n here is <= 2*256 sub-batch rows.
+    l2 = jnp.sum(jnp.square(total[:, None, :] - total[None, :, :]), axis=-1)
     if fix_sigma is not None:
         bandwidth = jnp.asarray(fix_sigma, dtype=total.dtype)
     elif mask_source is not None:

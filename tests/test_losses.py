@@ -208,3 +208,71 @@ def test_mmd_rbf_degenerate_masks_finite():
     # masks come in pairs: one-sided masks are a caller bug
     with pytest.raises(ValueError, match="both or neither"):
         gaussian_kernel(s, t, mask_source=one)
+
+
+def test_gaussian_kernel_near_duplicate_rows():
+    """Cancellation regression (round 4): rows with large norms and tiny
+    pairwise distances — the early-training regime under the reference's
+    normal_(0.001) init, where all features are near-duplicates.  The
+    |x|^2+|y|^2-2xy GEMM expansion loses ~1e-3 relative accuracy in f32
+    here (and is garbage under the TPU's default-bf16 dot); the
+    subtract-first formula (loss.py:49-52, used since round 4) is exact.
+    Ground truth in float64."""
+    base = RNG.normal(size=(1, 64)).astype(np.float32) * 3.0
+    s = (base + 1e-3 * RNG.normal(size=(6, 64))).astype(np.float32)
+    t = (base + 1e-3 * RNG.normal(size=(6, 64))).astype(np.float32)
+
+    def f64_mmd(a, b):
+        tot = np.concatenate([a, b]).astype(np.float64)
+        l2 = ((tot[:, None, :] - tot[None, :, :]) ** 2).sum(-1)
+        bw = l2.sum() / (len(tot) ** 2 - len(tot)) / (2.0 ** (5 // 2))
+        k = sum(np.exp(-l2 / (bw * 2.0 ** i)) for i in range(5))
+        n = len(a)
+        return np.mean(k[:n, :n] + k[n:, n:] - k[:n, n:] - k[n:, :n])
+
+    want = f64_mmd(s, t)
+    got = float(mmd_rbf(jnp.asarray(s), jnp.asarray(t), ver=2))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_jan_gradients_match_reference_autograd():
+    """JAN gradient parity vs the ACTUAL reference's autograd
+    (loss.py:85-120 through tests/ref_harness.py), in the
+    near-duplicate-rows regime where gradients are huge (max ~230 here:
+    tiny bandwidth -> steep kernels).  This pins that the chaotic step-3+
+    divergence of the jan_general oracle corner (test_ref_oracle.py) is
+    f32-rounding amplification, not a gradient bug."""
+    import jax
+
+    from tests import ref_harness
+    ref_harness.patch_torch()
+    ns = ref_harness.load_reference()
+
+    rng = np.random.default_rng(7)
+    base0 = rng.normal(size=(1, 6)).astype(np.float32)
+    base1 = rng.normal(size=(1, 256)).astype(np.float32)
+    a0 = (base0 + 1e-3 * rng.normal(size=(4, 6))).astype(np.float32)
+    b0 = (base0 + 1e-3 * rng.normal(size=(4, 6))).astype(np.float32)
+    a1 = (base1 + 1e-3 * rng.normal(size=(4, 256))).astype(np.float32)
+    b1 = (base1 + 1e-3 * rng.normal(size=(4, 256))).astype(np.float32)
+
+    ts = [torch.tensor(x, requires_grad=True) for x in (a0, a1, b0, b1)]
+    loss = ns.loss.JAN([ts[0], ts[1]], [ts[2], ts[3]],
+                       kernel_muls=[2.0] * 2, kernel_nums=[2, 5],
+                       fix_sigma_list=[None] * 2, ver=2)
+    loss.backward()
+
+    def f(args):
+        x0, x1, y0, y1 = args
+        return JAN([x0, x1], [y0, y1], kernel_muls=(2.0, 2.0),
+                   kernel_nums=(2, 5), fix_sigma_list=(None, None), ver=2)
+
+    val, grads = jax.value_and_grad(f)(tuple(jnp.asarray(x)
+                                             for x in (a0, a1, b0, b1)))
+    assert float(val) == pytest.approx(float(loss), rel=1e-6)
+    for t, g in zip(ts, grads):
+        ref_g = t.grad.numpy()
+        scale = np.abs(ref_g).max()
+        assert scale > 1.0  # the steep regime this test exists for
+        np.testing.assert_allclose(np.asarray(g), ref_g,
+                                   atol=1e-6 * scale, rtol=1e-5)

@@ -8,11 +8,24 @@ OWN code executing in-process (tests/ref_harness.py):
   * main.py:437-583  — the real train() loss assembly + SGD update,
   * main.py:669-761  — the real validate(),
 
-at two configs: the published flagship (trn-m + TransAttn + RevGrad
-Y/Y/Y + attentive entropy) and an off-published corner (avgpool +
-AdaBN + MCD).  With dropout off everything is deterministic; per-step
-total losses must match to float32 accuracy and the post-training
-parameters (through the weight importer, both directions) must agree.
+at four configs: the published flagship (trn-m + TransAttn + RevGrad
+Y/Y/Y + attentive entropy), an off-published corner (avgpool + AdaBN +
+MCD), and two discrepancy corners — avgpool + DAN at the default
+placement + aggregation-level TransAttn (the dis_DA loss path
+main.py:480-506 with its per-layer min-size truncation, plus the
+avgpool attention branch models.py:427-433) and trn-m + JAN + general
+attention (joint-MMD branch main.py:462-471 + GeneralAttn
+models.py:359-366).  The discrepancy corners are what caught the
+L2-via-GEMM cancellation bug in gaussian_kernel (round 4).  Two
+reference defects bound what can be oracled here: single-scale 'trn'
+crashes the reference outright (relation_domain_classifier_all is only
+built for trn-m, models.py:286, but the forward needs it for any
+'trn' aggregation, models.py:636), and place_dis[2]='Y' crashes on 3D
+shared-layer feats (loss.py:49-52) — ours supports both (PARITY.md).
+
+With dropout off everything is deterministic; per-step total losses
+must match to float32 accuracy and the post-training parameters
+(through the weight importer, both directions) must agree.
 """
 
 import numpy as np
@@ -59,6 +72,18 @@ MCD_ADABN_ARGV = _common_argv([
     "--use_attn", "none",
 ])
 
+DAN_AVGPOOL_ARGV = _common_argv([
+    "--frame_aggregation", "avgpool", "--use_target", "uSv",
+    "--dis_DA", "DAN", "--place_dis", "Y", "Y", "N", "--alpha", "0.5",
+    "--use_attn", "TransAttn",
+])
+
+JAN_GENERAL_ARGV = _common_argv([
+    "--frame_aggregation", "trn-m", "--use_target", "uSv",
+    "--dis_DA", "JAN", "--alpha", "0.5",
+    "--use_attn", "general",
+])
+
 
 def _our_configs(ref_args):
     model_cfg = ModelConfig(
@@ -99,8 +124,10 @@ def _our_train(ref_args, state_dict, src, tgt):
     st = TrainState(params, batch_stats, tx.init(params),
                     jnp.asarray(0, jnp.int32))
     step = make_train_step(model, da_cfg, train_cfg)
+    # alpha weights the dis_DA loss (main.py:506); inert when dis_DA is
+    # 'none' in both frameworks, so pass it through unconditionally
     sc = StepScalars(np.asarray(ref_args.beta, np.float32),
-                     np.float32(ref_args.mu), np.float32(0.0),
+                     np.float32(ref_args.mu), np.float32(ref_args.alpha),
                      np.float32(ref_args.gamma), np.float32(LR))
     losses = []
     for (xs, ys), (xt, yt) in zip(src, tgt):
@@ -122,23 +149,40 @@ def _assert_trees_close(ours, ref, rtol, atol, what):
             err_msg=f"{what}: {jax.tree_util.keystr(path)}")
 
 
-@pytest.mark.parametrize("argv,seed", [(FLAGSHIP_ARGV, 0),
-                                       (MCD_ADABN_ARGV, 1)],
-                         ids=["flagship", "mcd_adabn"])
-def test_training_parity_vs_actual_reference(argv, seed):
-    """4 optimizer steps: per-step total losses (the exact scalars the
-    reference backprops, main.py:577) and the post-training parameter
-    (+BN stat) trees must match the reference's train() run."""
+@pytest.mark.parametrize("argv,seed,n_steps",
+                         [(FLAGSHIP_ARGV, 0, N_STEPS),
+                          (MCD_ADABN_ARGV, 1, N_STEPS),
+                          (DAN_AVGPOOL_ARGV, 2, N_STEPS),
+                          # 2 steps only: the JAN bandwidth statistic on
+                          # near-duplicate early-training rows amplifies
+                          # f32 rounding ~20x per step (measured: per-step
+                          # loss deltas 3e-6 -> 9e-6 -> 3.6e-4 -> 2.1e-3
+                          # rel over 4 steps, with JAN GRADIENTS matching
+                          # the reference's autograd to 2.4e-7 rel —
+                          # test_losses.py::test_jan_gradients_match_
+                          # reference_autograd); beyond step 2 the two
+                          # f32 implementations of the same chaotic map
+                          # part ways and tracking carries no information
+                          (JAN_GENERAL_ARGV, 3, 2)],
+                         ids=["flagship", "mcd_adabn", "dan_avgpool",
+                              "jan_general"])
+def test_training_parity_vs_actual_reference(argv, seed, n_steps):
+    """4 optimizer steps (2 for the chaotic JAN corner, see parametrize):
+    per-step total losses (the exact scalars the reference backprops,
+    main.py:577) and the post-training parameter (+BN stat) trees must
+    match the reference's train() run."""
     ref_harness.set_feature_dim(D)
     args = ref_harness.make_args(argv)
     dp = ref_harness.build_ref_model(args, C)
     state0 = ref_harness.state_dict_numpy(dp)
     src, tgt, _ = _make_batches(seed)
+    src, tgt = src[:n_steps], tgt[:n_steps]
 
     our_losses, our_params, our_stats = _our_train(args, state0, src, tgt)
 
-    ref_losses, _ = ref_harness.ref_train(args, dp, C, src, tgt)
-    assert len(ref_losses) == N_STEPS
+    ref_losses, _ = ref_harness.ref_train(args, dp, C, src, tgt,
+                                          alpha=args.alpha)
+    assert len(ref_losses) == n_steps
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-4,
                                err_msg="per-step total loss")
@@ -152,8 +196,10 @@ def test_training_parity_vs_actual_reference(argv, seed):
                             what="BN running stats after training")
 
 
-@pytest.mark.parametrize("argv", [FLAGSHIP_ARGV, MCD_ADABN_ARGV],
-                         ids=["flagship", "mcd_adabn"])
+@pytest.mark.parametrize("argv", [FLAGSHIP_ARGV, MCD_ADABN_ARGV,
+                                  DAN_AVGPOOL_ARGV, JAN_GENERAL_ARGV],
+                         ids=["flagship", "mcd_adabn", "dan_avgpool",
+                              "jan_general"])
 def test_eval_parity_vs_actual_reference(argv):
     """Eval logits vs the reference model's own forward (eval mode,
     models.py:545-722) and top-1 vs the reference's validate()
