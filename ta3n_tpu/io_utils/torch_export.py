@@ -126,50 +126,12 @@ def export_state_dict(params: Dict[str, Any],
 
 
 def _export_rnn(rnn: Dict[str, Any], out: Dict[str, np.ndarray]) -> None:
-    """Per-gate flax cells -> torch fused-gate tensors.  Our cells hold
-    ONE merged bias per gate (import merged b_ih+b_hh); export it as
-    b_ih with b_hh zeroed — torch adds the two, so identical math."""
-    def layers(prefix):
-        n = 0
-        while f"{prefix}{n}" in rnn:
-            n += 1
-        return n
-
-    bidir = "cell_fwd_0" in rnn
-    n_layers = layers("cell_fwd_" if bidir else "cell_")
-
-    def put(cell: Dict[str, Any], suffix: str):
-        gru = "ir" in cell
-        if gru:  # torch gate order r, z, n
-            w_ih = np.concatenate([_w(cell[f"i{g}"]["kernel"])
-                                   for g in ("r", "z", "n")])
-            w_hh = np.concatenate([_w(cell[f"h{g}"]["kernel"])
-                                   for g in ("r", "z", "n")])
-            hdim = w_hh.shape[1]
-            b_ih = np.concatenate([np.asarray(cell["ir"]["bias"]),
-                                   np.asarray(cell["iz"]["bias"]),
-                                   np.asarray(cell["in"]["bias"])])
-            b_hh = np.concatenate([np.zeros(2 * hdim, b_ih.dtype),
-                                   np.asarray(cell["hn"]["bias"])])
-        else:  # LSTM gate order i, f, g, o
-            w_ih = np.concatenate([_w(cell[f"i{g}"]["kernel"])
-                                   for g in "ifgo"])
-            w_hh = np.concatenate([_w(cell[f"h{g}"]["kernel"])
-                                   for g in "ifgo"])
-            b_ih = np.concatenate([np.asarray(cell[f"h{g}"]["bias"])
-                                   for g in "ifgo"])
-            b_hh = np.zeros_like(b_ih)
-        out[f"rnn.weight_ih_{suffix}"] = w_ih
-        out[f"rnn.weight_hh_{suffix}"] = w_hh
-        out[f"rnn.bias_ih_{suffix}"] = b_ih
-        out[f"rnn.bias_hh_{suffix}"] = b_hh
-
-    for l in range(n_layers):
-        if bidir:
-            put(rnn[f"cell_fwd_{l}"], f"l{l}")
-            put(rnn[f"cell_bwd_{l}"], f"l{l}_reverse")
-        else:
-            put(rnn[f"cell_{l}"], f"l{l}")
+    """Our RNNAggregator params ARE torch's names/layout (weights stored
+    transposed, both bias leaves kept) — export is a transpose+rename."""
+    for name, v in rnn.items():
+        v = np.asarray(v)
+        out[f"rnn.{name}"] = (np.ascontiguousarray(v.T)
+                              if name.startswith("weight_") else v)
 
 
 def _synthesize_dead(out: Dict[str, np.ndarray]) -> None:

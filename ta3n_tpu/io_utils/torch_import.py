@@ -8,10 +8,11 @@ so published checkpoints evaluate bit-comparably on TPU.
 Covered: the shared/target FC stacks, frame/video classifiers, all three
 domain heads, single- and multi-scale TRN fusion layers, relation domain
 classifiers, general-attention MLP, AdaBN/AutoDIAL BN (affine + running
-stats + alpha), and the temconv TCL conv.  The reference's dead parameters
-(`fc_feature_source`, `fc_feature_video_source{,_2}` — never used in its
-forward, SURVEY §2.10) are accepted and dropped.  RNN (LSTM/GRU) import is
-not implemented (gate-layout mapping differs; raises with a clear message).
+stats + alpha), the temconv TCL conv, and the LSTM/GRU aggregator (our
+RNNAggregator keeps torch's fused-gate layout and names, weights stored
+transposed).  The reference's dead parameters (`fc_feature_source`,
+`fc_feature_video_source{,_2}` — never used in its forward, SURVEY §2.10)
+are accepted and dropped.
 """
 
 from __future__ import annotations
@@ -163,55 +164,18 @@ def import_torch_state_dict(state: Dict[str, Any]
             "kernel": w.transpose(2, 3, 1, 0),
             "bias": _to_np(take("tcl_3_1.conv2d.bias"))}}
 
-    # RNN aggregator (models.py:202-215): torch fused-gate weights ->
-    # per-gate flax cells (RNNAggregator layout: rnn/rnn_{l}/cell_{l})
-    rnn_keys = {k for k in state if k.startswith("rnn.")}
+    # RNN aggregator (models.py:202-215): our RNNAggregator keeps torch's
+    # own names and fused-gate layout (weights stored transposed, both
+    # bias vectors as separate leaves — a training-parity requirement:
+    # torch applies the same gradient to b_ih AND b_hh, so a merged bias
+    # would receive half the per-step update)
+    rnn_keys = sorted(k for k in state if k.startswith("rnn."))
     if rnn_keys:
-        bidir = any("_reverse" in k for k in rnn_keys)
-        layers = sorted({int(k.split("_l")[-1].replace("_reverse", ""))
-                         for k in rnn_keys if "_l" in k})
         rnn_tree: Dict[str, Any] = {}
-        n_layers = 1 + max(layers)
-        gru = (_to_np(state["rnn.weight_ih_l0"]).shape[0]
-               == 3 * _to_np(state["rnn.weight_hh_l0"]).shape[1])
-
-        def convert_cell(suffix_l):
-            w_ih = _to_np(take(f"rnn.weight_ih_{suffix_l}"))
-            w_hh = _to_np(take(f"rnn.weight_hh_{suffix_l}"))
-            b_ih = _to_np(take(f"rnn.bias_ih_{suffix_l}"))
-            b_hh = _to_np(take(f"rnn.bias_hh_{suffix_l}"))
-            hdim = w_hh.shape[1]
-            if gru:  # torch gate order r, z, n (GRUCell docs)
-                r, z, n = (slice(0, hdim), slice(hdim, 2 * hdim),
-                           slice(2 * hdim, 3 * hdim))
-                return {
-                    "ir": {"kernel": w_ih[r].T,
-                           "bias": b_ih[r] + b_hh[r]},
-                    "iz": {"kernel": w_ih[z].T,
-                           "bias": b_ih[z] + b_hh[z]},
-                    "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
-                    "hr": {"kernel": w_hh[r].T},
-                    "hz": {"kernel": w_hh[z].T},
-                    "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
-                }
-            # LSTM gate order i, f, g, o
-            sl = {g: slice(j * hdim, (j + 1) * hdim)
-                  for j, g in enumerate("ifgo")}
-            cell = {}
-            for g in "ifgo":
-                cell[f"i{g}"] = {"kernel": w_ih[sl[g]].T}
-                cell[f"h{g}"] = {"kernel": w_hh[sl[g]].T,
-                                 "bias": b_ih[sl[g]] + b_hh[sl[g]]}
-            return cell
-
-        # cells are scoped directly under the RNNAggregator (the cell
-        # modules are constructed in its scope)
-        for l in range(n_layers):
-            if bidir:
-                rnn_tree[f"cell_fwd_{l}"] = convert_cell(f"l{l}")
-                rnn_tree[f"cell_bwd_{l}"] = convert_cell(f"l{l}_reverse")
-            else:
-                rnn_tree[f"cell_{l}"] = convert_cell(f"l{l}")
+        for k in rnn_keys:
+            name = k[len("rnn."):]          # e.g. weight_ih_l0_reverse
+            v = _to_np(take(k))
+            rnn_tree[name] = v.T if name.startswith("weight_") else v
         params["rnn"] = rnn_tree
 
     for k in state:
