@@ -1,5 +1,10 @@
-"""TSN sampler parity tests against scalar re-derivations of the reference
-formulas (dataset.py:76-116)."""
+"""FAST PROXIES: TSN sampler checks against scalar re-derivations of the
+reference formulas (dataset.py:76-116).
+
+The authoritative oracle is tests/test_ref_dataset_oracle.py, which
+drives the reference's OWN TSNDataSet (indices, get() stack on real .t7
+fixtures, repeat-to, Diff new_length, crash-repro for its short-video
+defects); these mirror-based tests stay for quick iteration only."""
 
 import numpy as np
 
