@@ -22,13 +22,18 @@ Baseline: the reference publishes NO throughput numbers (BASELINE.md).
 ``vs_baseline`` is therefore the MEASURED ratio: the actual reference
 (torch CPU, scripts/measure_reference_baseline.py) runs at 427.6
 videos/s on this host at the same flagship config (0.472 s/step,
-13-step avg), and that is the denominator.  ``vs_v100_estimate`` keeps
-the older speculative comparison against REFERENCE_V100_VPS = 5000, an
-estimate of the PyTorch-0.4 reference on a V100 (BENCH_NOTES.md has the
-derivation; it credits the V100 11.7x over one CPU core — generous for
-a per-frame-torch.load-bound pipeline).  Same host, same config, our
-step does 853.6 v/s on CPU (2.0x software-only).  The driver's >=10x
-north star is met by either denominator.
+13-step avg); the denominator is emitted alongside (``baseline_vps``)
+so every JSON line is self-describing — the field's meaning changed in
+round 4 (it was a V100 estimate through round 3), and records must not
+rely on out-of-band context.  The older speculative V100 projection now
+lives ONLY in BENCH_NOTES.md ("V100 estimate"), not in this output.
+
+Regression tripwire (VERDICT r4 #5): at the default knobs on real TPU
+the measured videos/s must stay above 0.7x the recorded session record
+(BENCH history 529k -> 632k -> 667k -> 666k is stable well within that);
+below the floor the process exits non-zero so the driver flags it.
+Off-default knob sweeps and CPU runs skip the check;
+TA3N_BENCH_MIN_VPS overrides the floor (0 disables).
 """
 
 from __future__ import annotations
@@ -49,11 +54,16 @@ jax.config.update("jax_default_prng_impl", "rbg")
 # MEASURED same-host reference rate: /root/reference/main.py (torch CPU,
 # era-compat shims only) at the published flagship config — 427.6
 # videos/s, 13-step average (scripts/measure_reference_baseline.py,
-# BENCH_NOTES.md).  This real number is the `vs_baseline` denominator.
+# BENCH_NOTES.md).  This real number is the `vs_baseline` denominator,
+# emitted as `baseline_vps` so each record is self-describing.
 REFERENCE_MEASURED_CPU_VPS = 427.6
-# Speculative V100 projection of the same reference (BENCH_NOTES.md);
-# reported as `vs_v100_estimate`, clearly labeled as the estimate it is.
-REFERENCE_V100_VPS = 5000.0
+
+# TPU session record at the default knobs (BENCH_r03/r04: 667.2k/665.7k
+# videos/s); the tripwire floor is 0.7x — BENCH history varies < +-10%
+# between rounds, the tunnel's intra-session jitter is ~+-20%, and a
+# halving (the failure mode this guards) is far below 0.7x.
+SESSION_RECORD_VPS = 665_736.0
+TRIPWIRE_FRACTION = 0.7
 
 import os
 
@@ -86,6 +96,48 @@ STORE_DTYPE = os.environ.get("TA3N_BENCH_STORE_DTYPE", "float32")
 SAMPLER = os.environ.get("TA3N_BENCH_SAMPLER", "host")
 WARMUP, CALLS, WINDOWS = 3, 20, 3
 STORE_S_ROWS, STORE_T_ROWS = 20000, 12000
+
+# the tripwire only compares like with like: the recorded session record
+# was measured at exactly these knobs on real TPU
+DEFAULT_KNOBS = (BS == 128 and BT == 74 and SEG == 5 and FDIM == 2048
+                 and NCLASS == 12 and K == 64 and UNROLL == 1
+                 and COMPUTE_DTYPE == "float32"
+                 and STORE_DTYPE == "float32" and SAMPLER == "host")
+
+
+def tripwire_floor(default_knobs: bool, platform: str) -> float:
+    """Minimum acceptable videos/s, or 0 when the check doesn't apply
+    (off-default knob sweep, CPU run).  TA3N_BENCH_MIN_VPS overrides."""
+    env = os.environ.get("TA3N_BENCH_MIN_VPS")
+    if env is not None:
+        return float(env)
+    if default_knobs and platform == "tpu":
+        return TRIPWIRE_FRACTION * SESSION_RECORD_VPS
+    return 0.0
+
+
+def emit_and_check(vps: float, floor: float) -> int:
+    """Print the one-line JSON record; non-zero when vps is below the
+    regression floor (the driver surfaces the exit code)."""
+    record = {
+        "metric": "train_videos_per_sec_per_chip",
+        "value": round(vps, 1),
+        "unit": "videos/s",
+        "vs_baseline": round(vps / REFERENCE_MEASURED_CPU_VPS, 1),
+        "baseline_vps": REFERENCE_MEASURED_CPU_VPS,
+    }
+    if floor > 0:
+        record["tripwire_floor_vps"] = round(floor, 1)
+    print(json.dumps(record))
+    if floor > 0 and vps < floor:
+        import sys
+        print(f"PERF REGRESSION: {vps:.0f} videos/s is below the "
+              f"tripwire floor {floor:.0f} "
+              f"({TRIPWIRE_FRACTION}x the session record "
+              f"{SESSION_RECORD_VPS:.0f}) — see BENCH_NOTES.md",
+              file=sys.stderr)
+        return 1
+    return 0
 
 
 from ta3n_tpu.timing import measure_roundtrip  # noqa: E402 — shared warm-roundtrip helper
@@ -150,14 +202,9 @@ def main():
             best = min(best, time.perf_counter() - t0)
         per_step = (best - rt) / (CALLS * K)
         vps = (BS + BT) / per_step
-        print(json.dumps({
-            "metric": "train_videos_per_sec_per_chip",
-            "value": round(vps, 1),
-            "unit": "videos/s",
-            "vs_baseline": round(vps / REFERENCE_MEASURED_CPU_VPS, 1),
-            "vs_v100_estimate": round(vps / REFERENCE_V100_VPS, 2),
-        }))
-        return
+        return emit_and_check(
+            vps, tripwire_floor(DEFAULT_KNOBS,
+                                jax.devices()[0].platform))
 
     step = make_multi_train_step(model, da, tc, unroll=UNROLL)
 
@@ -198,14 +245,10 @@ def main():
     steps = CALLS * K
     per_step = (best - rt) / steps
     vps = (BS + BT) / per_step
-    print(json.dumps({
-        "metric": "train_videos_per_sec_per_chip",
-        "value": round(vps, 1),
-        "unit": "videos/s",
-        "vs_baseline": round(vps / REFERENCE_MEASURED_CPU_VPS, 1),
-        "vs_v100_estimate": round(vps / REFERENCE_V100_VPS, 2),
-    }))
+    return emit_and_check(
+        vps, tripwire_floor(DEFAULT_KNOBS, jax.devices()[0].platform))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(main())

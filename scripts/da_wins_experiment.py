@@ -65,6 +65,10 @@ def run_one(seed: int, use_da: bool, args) -> float:
         elif args.da_variant == "adabn":  # AdaBN via ModelConfig.use_bn
             da = DAConfig(use_target="uSv", adv_DA="RevGrad",
                           place_adv=("Y", "Y", "Y"))
+        elif args.da_variant == "sv":  # semi-supervised: target labels
+            # join the classification loss (main.py:442-444)
+            da = DAConfig(use_target="Sv", adv_DA="RevGrad",
+                          place_adv=("Y", "Y", "Y"))
         else:
             raise ValueError(args.da_variant)
     else:
@@ -126,7 +130,7 @@ def main():
                          "(ROADMAP #5)")
     ap.add_argument("--da_variant", default="full",
                     choices=["full", "dan", "jan", "coral", "mcd",
-                             "adabn"],
+                             "adabn", "sv"],
                     help="which DA mechanism the 'full_ta3n' arm uses "
                          "(VERDICT r1 #4: variants must not regress "
                          "vs source-only)")

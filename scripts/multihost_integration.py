@@ -307,13 +307,15 @@ def run_preemption_worker(process_id: int, num_processes: int, port: int,
     mode='straight': 4 epochs uninterrupted; save final params.
     mode='preempt':  a pod preemption — every host receives a REAL
                      SIGTERM after epoch 2's validation (clusters TERM
-                     all hosts of a job); the primary host's emergency
-                     path writes the shared checkpoint, the secondary
-                     skips the write (Trainer.save guard).
-    mode='resume':   relaunch both hosts from the shared checkpoint and
-                     finish; save final params — must be BITWISE the
-                     straight run's (device-sampled streams and
-                     schedules derive from the checkpointed step).
+                     all hosts of a job); EACH host's emergency path
+                     writes its own collective-free pickle
+                     (emergency.p{i}.pkl, io_utils.save_emergency_local)
+                     — no orbax barrier, so a host whose peers never
+                     reach the handler cannot deadlock (ADVICE r4).
+    mode='resume':   relaunch both hosts from the PRIMARY's emergency
+                     pickle and finish; save final params — must be
+                     BITWISE the straight run's (device-sampled streams
+                     and schedules derive from the checkpointed step).
     """
     if num_processes > 1:
         from ta3n_tpu.parallel.distributed import initialize_multihost
@@ -361,7 +363,7 @@ def run_preemption_worker(process_id: int, num_processes: int, port: int,
 
         tr.validate = validate_then_preempt
     if mode == "resume":
-        start = tr.resume(_os.path.join(exp_dir, "checkpoint"),
+        start = tr.resume(_os.path.join(exp_dir, "emergency.p0.pkl"),
                           resume_hp=True)
         assert start == 3, start
 
@@ -376,7 +378,8 @@ def run_preemption_worker(process_id: int, num_processes: int, port: int,
     np.savez(out_path, params=flat, step=int(tr.state.step),
              interrupted=interrupted,
              checkpoint_exists=_os.path.exists(
-                 _os.path.join(exp_dir, "checkpoint")),
+                 _os.path.join(exp_dir,
+                               f"emergency.p{process_id}.pkl")),
              n_processes=jax.process_count())
     print(f"[{mode} worker {process_id}] done: step={int(tr.state.step)} "
           f"interrupted={interrupted}", flush=True)
@@ -478,10 +481,11 @@ def orchestrate_preemption(json_path: str | None = None,
                            timeout: int = 1200) -> dict:
     """Multi-host preemption/resume integration (VERDICT r3 #5): a
     2-process Trainer job is SIGTERMed after epoch 2 (real signals, one
-    per host, like a pod preemption), the primary host's emergency path
-    writes the shared checkpoint, both hosts relaunch from it, and the
-    finished job's parameters must be BITWISE those of an uninterrupted
-    2-process run."""
+    per host, like a pod preemption), EVERY host's emergency path writes
+    its own collective-free pickle (no orbax barrier — a host whose
+    peers die elsewhere cannot deadlock, ADVICE r4), both hosts relaunch
+    from the primary's pickle, and the finished job's parameters must be
+    BITWISE those of an uninterrupted 2-process run."""
     tmp = tempfile.mkdtemp(prefix="mhp_")
     base_port = 13000 + (os.getpid() % 20000)
 
@@ -521,9 +525,11 @@ def orchestrate_preemption(json_path: str | None = None,
             and int(resumed[0]["step"]) == int(straight[0]["step"])),
         "what": "2-process Trainer job (device-store, K-step scan, "
                 "device-sampled) SIGTERMed on every host after epoch 2; "
-                "primary's emergency path writes the shared checkpoint; "
-                "both hosts relaunch with --resume_hp and finish.  Final "
-                "parameters vs an uninterrupted 2-process run",
+                "each host's emergency path writes a collective-free "
+                "pickle (no orbax barrier to deadlock on, ADVICE r4); "
+                "both hosts relaunch from the primary's pickle with "
+                "--resume_hp and finish.  Final parameters vs an "
+                "uninterrupted 2-process run",
         "preempted_hosts_interrupted": [bool(p["interrupted"])
                                         for p in preempted],
         "emergency_checkpoint_written": bool(

@@ -2,7 +2,8 @@
 (VERDICT r3 #3): the strongest accuracy-parity statement obtainable with
 zero egress.
 
-Per seed and per DA variant (none / RevGrad / DAN / MCD), BOTH
+Per seed and per DA variant (none / RevGrad / DAN / MCD / JAN /
+AdaBN+RevGrad / Sv — CORAL is un-A/B-able, see VARIANTS), BOTH
 frameworks train to completion on the SAME rotated-domain data
 (make_rotated_domain_pair, identical stores AND identical per-epoch
 batch streams — the reference arm materializes its batch lists from
@@ -52,12 +53,21 @@ BENCH = dict(angle=60.0, centroid_scale=4.0, videos=128, num_class=8,
 # MCD needs mu > 0 to act — reference default is 0, main.py:538-556 —
 # and mu≈1 to act USEFULLY: both the toy-scale and published-width DA
 # studies (BENCH_NOTES) show mu=0.1 is too weak and can hurt, which a
-# first A/B run at mu=0.1 reproduced in BOTH arms)
+# first A/B run at mu=0.1 reproduced in BOTH arms).  jan reuses dan's
+# alpha (same discrepancy-weight role, main.py:506).  coral is listed so
+# the script DOCUMENTS the reference's crash: main.py:493 calls CORAL()
+# but loss.py never defines it (`from loss import *` -> NameError), so
+# the reference arm cannot be trained — the run records the crash and
+# our arm's accuracy only.
 VARIANTS = {
     "none":    dict(alpha=1.0, mu=0.0),
     "revgrad": dict(alpha=1.0, mu=0.0),
     "dan":     dict(alpha=0.2, mu=0.0),
     "mcd":     dict(alpha=1.0, mu=1.0),
+    "jan":     dict(alpha=0.2, mu=0.0),
+    "adabn":   dict(alpha=1.0, mu=0.0),
+    "sv":      dict(alpha=1.0, mu=0.0),
+    "coral":   dict(alpha=0.2, mu=0.0),
 }
 
 
@@ -79,8 +89,9 @@ def run_ours(seed: int, variant: str, mesh: bool) -> float:
         gamma=BENCH["gamma"], mu=v["mu"], dropout=BENCH["dropout"],
         fix_task=False, beta=list(BENCH["beta"]), place_adv=["Y", "Y", "Y"],
         dann_lr=False, compute_dtype="float32",
-        da_variant={"revgrad": "full", "dan": "dan",
-                    "mcd": "mcd"}.get(variant, "full"),
+        da_variant={"revgrad": "full", "dan": "dan", "mcd": "mcd",
+                    "jan": "jan", "adabn": "adabn", "sv": "sv",
+                    "coral": "coral"}.get(variant, "full"),
         device_store=BENCH["feature_dim"] >= 256,
         mesh=mesh)
     return float(run_one(seed, variant != "none", args))
@@ -108,8 +119,20 @@ def ref_flags(variant: str):
     elif variant == "dan":
         flags += ["--use_target", "uSv", "--dis_DA", "DAN",
                   "--place_dis", "N", "Y", "N"]
+    elif variant == "jan":
+        flags += ["--use_target", "uSv", "--dis_DA", "JAN",
+                  "--place_dis", "N", "Y", "N"]
+    elif variant == "coral":
+        flags += ["--use_target", "uSv", "--dis_DA", "CORAL",
+                  "--place_dis", "N", "Y", "N"]
     elif variant == "mcd":
         flags += ["--use_target", "uSv", "--ens_DA", "MCD"]
+    elif variant == "adabn":
+        flags += ["--use_target", "uSv", "--use_bn", "AdaBN",
+                  "--adv_DA", "RevGrad", "--place_adv", "Y", "Y", "Y"]
+    elif variant == "sv":
+        flags += ["--use_target", "Sv", "--adv_DA", "RevGrad",
+                  "--place_adv", "Y", "Y", "Y"]
     else:
         raise ValueError(variant)
     return flags
@@ -206,6 +229,26 @@ def main():
 
     rows, summary = [], {}
     for variant in args.variants:
+        if variant == "coral":
+            # the reference arm is un-A/B-able: main.py:493 calls
+            # CORAL() which loss.py never defines — reproduce the
+            # NameError (documentation, not a comparison) and record
+            # only our arm's accuracy
+            try:
+                run_reference(args.seeds[0], "coral")
+                raise AssertionError(
+                    "reference CORAL unexpectedly ran — NameError gone?")
+            except NameError as e:
+                crash = f"{type(e).__name__}: {e}"
+            ours = run_ours(args.seeds[0], "coral", args.mesh)
+            summary["coral"] = {
+                "ours_top1_seed0": ours,
+                "reference": "un-A/B-able — the reference crashes "
+                             "before its first CORAL step",
+                "reference_crash": crash,
+            }
+            print(json.dumps({"coral": summary["coral"]}), flush=True)
+            continue
         ours_all, ref_all = [], []
         for seed in args.seeds:
             ours = run_ours(seed, variant, args.mesh)
@@ -216,17 +259,24 @@ def main():
             print(json.dumps(rows[-1]), flush=True)
             ours_all.append(ours)
             ref_all.append(ref)
+        d = np.asarray(ours_all) - np.asarray(ref_all)
         summary[variant] = {
             "ours_mean": float(np.mean(ours_all)),
             "reference_mean": float(np.mean(ref_all)),
-            "delta_mean": float(np.mean(ours_all) - np.mean(ref_all)),
+            "delta_mean": float(np.mean(d)),
+            # paired-seed SEM: the honest error bar for delta_mean —
+            # claims should say "significantly better" ONLY where
+            # |delta_mean| > 2*delta_sem (VERDICT r4 weak-#1)
+            "delta_sem": float(np.std(d, ddof=1) / np.sqrt(len(d)))
+            if len(d) > 1 else None,
             "ours_per_seed": ours_all, "reference_per_seed": ref_all,
         }
         print(json.dumps({variant: summary[variant]}), flush=True)
     out = {"bench": {k: (list(v) if isinstance(v, tuple) else v)
                      for k, v in BENCH.items()},
            "seeds": args.seeds, "summary": summary,
-           "ok": all(s["delta_mean"] >= -2.0 for s in summary.values())}
+           "ok": all(s["delta_mean"] >= -2.0
+                     for s in summary.values() if "delta_mean" in s)}
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:

@@ -19,7 +19,8 @@ from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "save_emergency_local",
+           "load_checkpoint"]
 
 _CKPT_NAME = "checkpoint"
 _BEST_NAME = "model_best"
@@ -66,15 +67,58 @@ def save_checkpoint(path_exp: str, payload: Dict[str, Any],
     return path
 
 
+def save_emergency_local(path_exp: str, payload: Dict[str, Any]) -> str:
+    """NON-COLLECTIVE single-file emergency checkpoint (one pickle per
+    process, ``emergency.p{process_index}.pkl``).
+
+    Why it exists (ADVICE r4): orbax's save is a collective — every
+    process must enter it or the job deadlocks at the save barrier.  A
+    real multi-host preemption can interrupt processes at DIFFERENT
+    points (one host raises mid-epoch, another after validate), so the
+    emergency path must never rely on peers reaching the same handler.
+    This writer has no barriers: each process independently dumps its
+    own host-local copy of the (replicated) state; ANY one file restores
+    the full run (load_checkpoint/Trainer.resume accept the .pkl path
+    directly).  Requires host-addressable state — true for the DP /
+    multi-host-replicated design; a cross-host-sharded TP state would
+    need the collective save (use synchronized interrupts there).
+
+    Atomic: written to a .tmp and renamed, so a crash mid-dump never
+    leaves a half-written file where the resume looks.
+    """
+    import pickle
+
+    import jax
+    import numpy as np
+    os.makedirs(path_exp, exist_ok=True)
+    meta = {k: payload[k] for k in _META_KEYS if k in payload}
+    arrays = {k: v for k, v in payload.items() if k not in _META_KEYS}
+    arrays = jax.tree_util.tree_map(lambda a: np.asarray(a), arrays)
+    path = os.path.abspath(os.path.join(
+        path_exp, f"emergency.p{jax.process_index()}.pkl"))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({**meta, **arrays}, f)
+    os.replace(tmp, path)
+    return path
+
+
 def load_checkpoint(path: str,
                     template: Optional[Dict[str, Any]] = None
                     ) -> Dict[str, Any]:
-    """Restore a checkpoint directory saved by save_checkpoint.
+    """Restore a checkpoint directory saved by save_checkpoint, or a
+    process-local emergency ``.pkl`` (save_emergency_local).
 
     template: matching pytree of arrays for typed restoration (the scalar
     metadata keys in it are ignored).
     """
     path = os.path.abspath(path)
+    if path.endswith(".pkl") and os.path.isfile(path):
+        import pickle
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        payload.setdefault("batch_stats", {})
+        return payload
     ckpt = ocp.StandardCheckpointer()
     if template is not None:
         tmpl = {k: v for k, v in template.items() if k not in _META_KEYS}

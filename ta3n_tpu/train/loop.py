@@ -455,11 +455,8 @@ class Trainer:
             step=jnp.asarray(step, jnp.int32))
         return self.start_epoch
 
-    def save(self, epoch: int, prec1: float, is_best: bool):
-        # multi-host note: EVERY process must call this together —
-        # orbax's save is a collective; save_checkpoint itself restricts
-        # the filesystem side-effects to the primary host
-        save_checkpoint(self.path_exp, {
+    def _ckpt_payload(self, epoch: int, prec1: float) -> dict:
+        return {
             "epoch": epoch,
             "lr_current": float(self.lr_current),
             "arch": self.model_cfg.base_model,
@@ -469,7 +466,14 @@ class Trainer:
             "best_prec1": self.best_prec1,
             "prec1": prec1,
             "step": int(self.state.step),
-        }, is_best)
+        }
+
+    def save(self, epoch: int, prec1: float, is_best: bool):
+        # multi-host note: EVERY process must call this together —
+        # orbax's save is a collective; save_checkpoint itself restricts
+        # the filesystem side-effects to the primary host
+        save_checkpoint(self.path_exp, self._ckpt_payload(epoch, prec1),
+                        is_best)
 
     # ---- one epoch (main.py:309-667) ----
     def train_epoch(self, epoch: int) -> float:
@@ -1078,9 +1082,27 @@ class Trainer:
                 return self._fit()
         except BaseException:
             if self.save_model and self._last_epoch_done >= 1:
-                self.save(self._last_epoch_done, self.best_prec1, False)
-                print(f"emergency checkpoint saved at epoch "
-                      f"{self._last_epoch_done} -> {self.path_exp}")
+                if jax.process_count() > 1:
+                    # a real preemption can interrupt processes at
+                    # DIFFERENT points, so the collective orbax save
+                    # would deadlock at its barrier if any peer never
+                    # reaches this handler (ADVICE r4) — each process
+                    # writes its own collective-free pickle instead;
+                    # any one file resumes the run (Trainer.resume)
+                    from ta3n_tpu.io_utils.checkpoint import \
+                        save_emergency_local
+                    p = save_emergency_local(
+                        self.path_exp,
+                        self._ckpt_payload(self._last_epoch_done,
+                                           self.best_prec1))
+                    print(f"emergency checkpoint (process-local, "
+                          f"collective-free) saved at epoch "
+                          f"{self._last_epoch_done} -> {p}")
+                else:
+                    self.save(self._last_epoch_done, self.best_prec1,
+                              False)
+                    print(f"emergency checkpoint saved at epoch "
+                          f"{self._last_epoch_done} -> {self.path_exp}")
             raise
 
     _last_epoch_done = 0

@@ -98,3 +98,32 @@ def test_noop_off_main_thread():
     t.start()
     t.join()
     assert not errors
+
+
+def test_emergency_local_pickle_roundtrips_through_resume(tmp_path):
+    """The multi-host emergency path writes a collective-free pickle
+    (io_utils.save_emergency_local, ADVICE r4: orbax's save is a
+    collective and can deadlock when preemption interrupts hosts at
+    different points); Trainer.resume must restore from the .pkl path
+    exactly like from an orbax checkpoint dir."""
+    import numpy as np
+
+    import jax
+
+    from ta3n_tpu.io_utils.checkpoint import save_emergency_local
+
+    tr = _trainer(tmp_path, epochs=2)
+    tr.fit()
+    path = save_emergency_local(str(tmp_path),
+                                tr._ckpt_payload(2, tr.best_prec1))
+    assert path.endswith("emergency.p0.pkl") and os.path.exists(path)
+
+    tr2 = _trainer(tmp_path, epochs=4)
+    start = tr2.resume(path, resume_hp=True)
+    assert start == 3
+    assert int(tr2.state.step) == int(tr.state.step)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr2.state.params)[0],
+            jax.tree_util.tree_flatten_with_path(tr.state.params)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(kp))

@@ -104,3 +104,74 @@ def test_class_weights_with_absent_class(tmp_path):
     w = class_weights_from_list(str(p), 4, True)
     assert w.shape == (4,)
     np.testing.assert_allclose(w, [2.0, 4.0, 1.0, 4.0])
+
+
+def test_list2da_filename_mode_matches_reference_tool(tmp_path):
+    """Filename-derived class mode (VERDICT r4 #7): the ORACLE is the
+    reference's own dataset_preparation/list_ucf_hmdb_full2DA.py run as
+    a subprocess on the same inputs — its hmdb suffix/prefix stripping
+    (lines 38-48, both the one-word-token and joined-pair branches) and
+    ucf 'v_<Class>_...' parsing (lines 50-54) must be reproduced
+    line-for-line.  Class files use the published per-dataset tokens
+    (data/{ucf101,hmdb51}_splits/class_list_hmdb_ucf.txt layout)."""
+    import subprocess
+    import sys
+
+    class_files = {
+        "ucf101": "0 RopeClimbing\n1 Fencing\n2 GolfSwing\n",
+        "hmdb51": "0 climb\n1 fencing\n2 golf\n3 kick_ball\n",
+    }
+    cases = {
+        "ucf101": [
+            # path len id — the reference IGNORES the id, re-derives
+            "data/ucf101/RGB-feature-full/v_Fencing_g01_c01 41 27",
+            "data/ucf101/RGB-feature-full/v_Basketball_g01_c02 30 7",
+            "data/ucf101/RGB-feature-full/v_GolfSwing_g02_c01 55 32",
+            "data/ucf101/RGB-feature-full/v_RopeClimbing_g01_c01 25 75",
+        ],
+        "hmdb51": [
+            "data/hmdb51/RGB-feature-full/April_09_golf_u_cm_np1_ba_med_0 33 20",
+            "data/hmdb51/RGB-feature-full/Climbing_the_wall_climb_f_cm_np1_ba_med_1 44 5",
+            "data/hmdb51/RGB-feature-full/Goal_kick_ball_f_cm_np1_ba_med_2 28 13",
+            "data/hmdb51/RGB-feature-full/TALKING_talk_h_nm_np1_fr_goo_9 19 46",
+        ],
+    }
+    # Basketball / TALKING_talk are outside the class lists -> dropped;
+    # Goal_kick_ball matches via the joined-pair branch, the others via
+    # the single-token branch
+    expect_kept = {"ucf101": ["v_Fencing_g01_c01", "v_GolfSwing_g02_c01",
+                              "v_RopeClimbing_g01_c01"],
+                   "hmdb51": ["April_09_golf_u_cm_np1_ba_med_0",
+                              "Climbing_the_wall_climb_f_cm_np1_ba_med_1",
+                              "Goal_kick_ball_f_cm_np1_ba_med_2"]}
+
+    for dataset, lines in cases.items():
+        class_file = tmp_path / f"class_{dataset}.txt"
+        class_file.write_text(class_files[dataset])
+        splits = tmp_path / "data" / dataset / f"{dataset}_splits"
+        splits.mkdir(parents=True, exist_ok=True)
+        for kind in ("train", "val"):
+            (splits / f"{dataset}_rgb_{kind}_split_1.txt").write_text(
+                "\n".join(lines) + "\n")
+
+        # --- the reference tool itself (oracle) ---
+        subprocess.run(
+            [sys.executable,
+             "/root/reference/dataset_preparation/list_ucf_hmdb_full2DA.py",
+             dataset, "rgb", "--class_file", str(class_file),
+             "--data_path", str(tmp_path / "data") + "/",
+             "--suffix", "_DA"],
+            check=True, cwd=str(tmp_path), capture_output=True)
+        ref_out = (tmp_path / "data" / dataset /
+                   f"list_{dataset}_train_DA.txt").read_text().splitlines()
+        assert [r.split(" ")[0].rsplit("/", 1)[-1] for r in ref_out] == \
+            expect_kept[dataset], f"{dataset}: oracle run unexpected"
+
+        # --- ours, filename mode ---
+        rows = list2da_convert(
+            str(splits / f"{dataset}_rgb_train_split_1.txt"),
+            None, str(class_file),
+            feature_root=f"data/{dataset}/RGB-feature",
+            dataset=dataset)
+        ours_lines = [f"{p} {n} {l}" for p, n, l in rows]
+        assert ours_lines == ref_out, f"{dataset}: ours != reference tool"
