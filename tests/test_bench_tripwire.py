@@ -48,3 +48,12 @@ def test_record_is_one_selfdescribing_json_line(capsys):
         600000.0 / bench.REFERENCE_MEASURED_CPU_VPS, rel=1e-3)
     assert "vs_v100_estimate" not in rec       # demoted to BENCH_NOTES.md
     assert rec["tripwire_floor_vps"] > 0
+
+
+def test_default_knobs_arm_the_tripwire():
+    """The driver runs bench.py with no TA3N_BENCH_* env, which must
+    count as default knobs — otherwise the floor silently never applies
+    (the test env sets none of them either)."""
+    import os
+    assert not any(k.startswith("TA3N_BENCH_") for k in os.environ)
+    assert bench.DEFAULT_KNOBS is True
