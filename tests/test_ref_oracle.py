@@ -430,3 +430,30 @@ def test_frame_baseline_s1_parity_vs_actual_reference():
         correct += float(m["top1"])
         n += float(m["n"])
     np.testing.assert_allclose(100.0 * correct / n, ref_top1, atol=1e-4)
+
+
+MCD_SV_ARGV = _common_argv([
+    "--frame_aggregation", "avgpool", "--use_target", "Sv",
+    "--ens_DA", "MCD", "--mu", "0.5", "--use_attn", "none",
+])
+
+
+def test_mcd_sv_crashes_reference_ours_trains():
+    """MCD + Sv: the reference concatenates target labels into `label`
+    (main.py:443-444) but then feeds the SOURCE-only second-classifier
+    logits against it (main.py:448: criterion(out_source_2, label)) —
+    ValueError for any Bt > 0, so semi-supervised MCD is dead code in
+    the reference.  Ours scores the second classifier against the
+    source labels only (train/step.py loss_fn), keeping the combo
+    trainable; documented divergence."""
+    ref_harness.set_feature_dim(D)
+    args = ref_harness.make_args(MCD_SV_ARGV)
+    dp = ref_harness.build_ref_model(args, C)
+    state0 = ref_harness.state_dict_numpy(dp)
+    src, tgt, _ = _make_batches(13)
+    src, tgt = src[:2], tgt[:2]
+
+    with pytest.raises(ValueError, match="batch_size"):
+        ref_harness.ref_train(args, dp, C, src, tgt, alpha=args.alpha)
+
+    _ours_trains_finite(args, state0, src, tgt)
