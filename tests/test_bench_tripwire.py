@@ -6,7 +6,17 @@ import json
 
 import pytest
 
-import bench
+import jax
+
+# bench.py flips the process-global PRNG impl to rbg at import (a
+# deliberate benchmark setting); importing it at collection time would
+# leak that into every later test's dropout streams (the conftest
+# autouse snapshot runs AFTER collection — the exact leak CLAUDE.md
+# warns about, observed as a test_bf16_training accuracy flake).
+_impl = jax.config.jax_default_prng_impl
+import bench  # noqa: E402
+
+jax.config.update("jax_default_prng_impl", _impl)
 
 
 def test_floor_applies_only_on_tpu_at_default_knobs(monkeypatch):
