@@ -162,6 +162,13 @@ def gaussian_kernel(source: jax.Array, target: jax.Array,
     # in f32, and garbage under the TPU's default-bf16 dot.  The diff
     # tensor is [n, n, d] but XLA fuses broadcast-sub-square-reduce
     # without materializing it; n here is <= 2*256 sub-batch rows.
+    # MEASURED on TPU (scripts/profile_dan_step.py, BENCH_NOTES "DAN
+    # step cost"): compiled temp memory 13.9 MB at the published DAN
+    # config (CHEAPER than the flagship adversarial step) and 71.4 MB
+    # at the adversarial worst case (512-row chunks x 2560-d flat
+    # frame features, [512,512,2560] = 2.6 GB if materialized) —
+    # fusion confirmed, the trade is O(n^2 d) vector FLOPs (5.6 ms/step
+    # at that worst case), not memory.
     l2 = jnp.sum(jnp.square(total[:, None, :] - total[None, :, :]), axis=-1)
     if fix_sigma is not None:
         bandwidth = jnp.asarray(fix_sigma, dtype=total.dtype)
