@@ -19,9 +19,67 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
+import jax.numpy as jnp
 import optax
 
-__all__ = ["make_optimizer", "make_flat_optimizer", "apply_updates_with_lr"]
+__all__ = ["make_optimizer", "make_flat_optimizer", "apply_updates_with_lr",
+           "structural_participation", "decay_masked_params"]
+
+
+def structural_participation(loss_fn, *args):
+    """Per-leaf bool pytree over ``args[0]`` (params): True iff
+    d(loss)/d(leaf) is NOT a structural zero, i.e. backprop reaches the
+    leaf.  This is exactly torch autograd's ``p.grad is not None``, and
+    torch.optim SKIPS grad=None params entirely — no weight decay, no
+    moment update (main.py:578-581 relies on it: e.g. heads outside the
+    selected place_adv layers, or AutoDIAL's alpha read via .item(),
+    never move).  Our grads for such leaves are exact zero ARRAYS, so
+    only the weight-decay term leaks updates into them; gate it on this
+    mask (see ``decay_masked_params``) and the whole update is exactly
+    zero — bitwise torch semantics under both SGD and Adam.
+
+    Computed from the gradient jaxpr by input-dependence propagation:
+    instantiated symbolic zeros are broadcasts of literals with no
+    transitive dependence on any jaxpr input, while every real gradient
+    depends on at least the parameter itself.  Trace-time only
+    (ShapeDtypeStructs in, python bools out) — zero runtime cost, and
+    safe to call on tracers (only shapes/dtypes are read).
+    """
+    from jax.extend import core as jex_core
+
+    def _grads(*a):
+        return jax.grad(loss_fn, has_aux=True)(*a)[0]
+
+    def _sds(x):
+        dt = x.dtype if hasattr(x, "dtype") else jnp.result_type(x)
+        return jax.ShapeDtypeStruct(jnp.shape(x), dt)
+
+    avals = jax.tree_util.tree_map(_sds, args)
+    jaxpr = jax.make_jaxpr(_grads)(*avals).jaxpr
+    live = set(jaxpr.invars)
+    for eqn in jaxpr.eqns:
+        # conservative: any live operand marks every output live (sound
+        # for zero-detection — zeros instantiation is literal-only)
+        if any(isinstance(v, jex_core.Var) and v in live
+               for v in eqn.invars):
+            live.update(eqn.outvars)
+    flags = [isinstance(v, jex_core.Var) and v in live
+             for v in jaxpr.outvars]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(args[0]), flags)
+
+
+def decay_masked_params(params, mask):
+    """Zero the leaves torch would see as grad=None, for use as the
+    ``params`` argument of the update chain: the chain reads params
+    ONLY for the weight-decay term (clip/trace/adam are params-free),
+    so zeroed params gate wd per leaf without touching what the lr
+    apply subtracts from.  ``mask=None`` (or all-True) is the identity.
+    """
+    if mask is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p, m: p if m else jnp.zeros_like(p), params, mask)
 
 
 def _torch_sgd_momentum(momentum: float, nesterov: bool):
@@ -77,19 +135,23 @@ class FlatOptimizer(NamedTuple):
         flat, _ = jax.flatten_util.ravel_pytree(params)
         return FlatOptState(self.tx.init({"p": flat}))
 
-    def update(self, grads, state: FlatOptState, params):
+    def update(self, grads, state: FlatOptState, params, decay_mask=None):
         """optax-compatible: returns (updates pytree, new state)."""
         g, unravel = jax.flatten_util.ravel_pytree(grads)
-        p, _ = jax.flatten_util.ravel_pytree(params)
+        p, _ = jax.flatten_util.ravel_pytree(
+            decay_masked_params(params, decay_mask))
         upd, inner = self.tx.update({"p": g}, state.inner, {"p": p})
         return unravel(upd["p"]), FlatOptState(inner)
 
-    def update_and_apply(self, grads, state: FlatOptState, params, lr):
+    def update_and_apply(self, grads, state: FlatOptState, params, lr,
+                         decay_mask=None):
         """Fused update + lr apply: params <- params - lr*update, all in
         the flat domain (one subtract instead of one per leaf)."""
         g, _ = jax.flatten_util.ravel_pytree(grads)
         p, unravel = jax.flatten_util.ravel_pytree(params)
-        upd, inner = self.tx.update({"p": g}, state.inner, {"p": p})
+        p_wd = (p if decay_mask is None else jax.flatten_util.ravel_pytree(
+            decay_masked_params(params, decay_mask))[0])
+        upd, inner = self.tx.update({"p": g}, state.inner, {"p": p_wd})
         new_flat = p - lr * upd["p"].astype(p.dtype)
         return unravel(new_flat), FlatOptState(inner)
 

@@ -29,7 +29,8 @@ from ta3n_tpu.losses import (CORAL, JAN, attentive_entropy,
                              weighted_cross_entropy)
 from ta3n_tpu.models import VideoModel
 from ta3n_tpu.train.optim import (apply_updates_with_lr,
-                                  make_flat_optimizer, make_optimizer)
+                                  decay_masked_params, make_flat_optimizer,
+                                  make_optimizer, structural_participation)
 
 __all__ = ["TrainState", "StepScalars", "create_train_state",
            "make_train_step", "make_eval_step", "topk_correct"]
@@ -499,15 +500,25 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         metrics = {}
 
         # ---- (1) classification loss (main.py:437-451) ----
-        o, lab, m = _flatten_out(out_s.out, ys, mask_s, cfg.baseline_type)
-        if da.pred_normalize == "Y":  # main.py:424-427
-            o = _masked_var_log_scale(o, m)
+        o_src, lab_src, m_src = _flatten_out(out_s.out, ys, mask_s,
+                                             cfg.baseline_type)
+        o_tgt, lab_tgt, m_tgt = _flatten_out(out_t.out, yt, mask_t,
+                                             cfg.baseline_type)
+        if da.pred_normalize == "Y":
+            # main.py:424-427 mutates BOTH streams once, before the whole
+            # loss assembly: the normalized out_target then feeds the Sv
+            # concat (main.py:442-444), target_entropy (main.py:542) and
+            # attentive_entropy (main.py:558) below.  out_source_2 (MCD)
+            # is NOT normalized there.  XLA dead-code-eliminates the
+            # target flatten/scale when nothing consumes it.
+            o_src = _masked_var_log_scale(o_src, m_src)
+            o_tgt = _masked_var_log_scale(o_tgt, m_tgt)
         if da.use_target == "Sv":
-            ot, labt, mt = _flatten_out(out_t.out, yt, mask_t,
-                                        cfg.baseline_type)
-            o = jnp.concatenate([o, ot], axis=0)
-            lab = jnp.concatenate([lab, labt])
-            m = jnp.concatenate([m, mt])
+            o = jnp.concatenate([o_src, o_tgt], axis=0)
+            lab = jnp.concatenate([lab_src, lab_tgt])
+            m = jnp.concatenate([m_src, m_tgt])
+        else:
+            o, lab, m = o_src, lab_src, m_src
         loss_c = weighted_cross_entropy(o, lab, class_weights, m)
         if mcd:
             o2, lab2, m2 = _flatten_out(out_s.out_2, ys, mask_s,
@@ -544,19 +555,13 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
 
         # ---- (4) entropy losses (main.py:541-545,558-562) ----
         if da.add_loss_DA == "target_entropy" and use_tgt:
-            ot, _, mt = _flatten_out(out_t.out, yt, mask_t,
-                                     cfg.baseline_type)
-            loss_e = cross_entropy_soft(ot, mt)
+            loss_e = cross_entropy_soft(o_tgt, m_tgt)
             metrics["loss_e"] = loss_e
             loss = loss + scalars.gamma * loss_e
         elif (da.add_loss_DA == "attentive_entropy"
               and cfg.use_attn != "none" and use_tgt):
-            os_, _, ms_ = _flatten_out(out_s.out, ys, mask_s,
-                                       cfg.baseline_type)
-            ot_, _, mt_ = _flatten_out(out_t.out, yt, mask_t,
-                                       cfg.baseline_type)
-            pred_all = jnp.concatenate([os_, ot_], axis=0)
-            m_all = jnp.concatenate([ms_, mt_])
+            pred_all = jnp.concatenate([o_src, o_tgt], axis=0)
+            m_all = jnp.concatenate([m_src, m_tgt])
             # pred_domain_all[1]: the 2nd selected adversarial layer —
             # video-level under the published place_adv (main.py:560).
             #
@@ -639,6 +644,23 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         return loss, (new_stats, metrics)
 
     tp_constrain = _tp_param_constrainer(mesh)
+    _pmask_cache = {}  # shape-key -> participation mask (trace-time)
+
+    def _decay_mask(*fn_args):
+        """torch.optim skips grad=None params ENTIRELY — no weight decay
+        (main.py:578-581).  Our grads for backprop-unreached leaves are
+        exact zeros, so ungated wd would walk them (full-lr drift under
+        Adam's eps-normalized update).  Gate decay on the structural
+        participation of each leaf; cached per input-shape signature
+        (one extra abstract trace per compile, zero runtime cost)."""
+        key = tuple(jax.tree_util.tree_map(jnp.shape,
+                                           fn_args[2:8]).__repr__())
+        if key not in _pmask_cache:
+            mask = structural_participation(loss_fn, *fn_args)
+            if all(jax.tree_util.tree_leaves(mask)):
+                mask = None  # identical program to the unmasked one
+            _pmask_cache[key] = mask
+        return _pmask_cache[key]
 
     def _run(state: TrainState, xs, ys, mask_s, xt, yt, mask_t,
              scalars: StepScalars, rng, rows=None):
@@ -653,11 +675,15 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         (_, (new_stats, metrics)), grads = grad_fn(
             params, state.batch_stats, xs, ys, mask_s, xt, yt, mask_t,
             scalars, rng, rows)
+        dmask = _decay_mask(params, state.batch_stats, xs, ys, mask_s,
+                            xt, yt, mask_t, scalars, rng, rows)
         if hasattr(tx, "update_and_apply"):  # flat path: fused lr apply
             new_params, new_opt = tx.update_and_apply(
-                grads, state.opt_state, params, scalars.lr)
+                grads, state.opt_state, params, scalars.lr,
+                decay_mask=dmask)
         else:
-            updates, new_opt = tx.update(grads, state.opt_state, params)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         decay_masked_params(params, dmask))
             new_params = apply_updates_with_lr(params, updates,
                                                scalars.lr)
         return TrainState(tp_constrain(new_params), new_stats, new_opt,
@@ -800,12 +826,21 @@ def make_grad_accum_step(model: VideoModel, da: DAConfig,
         (new_stats, grads, _), metrics = jax.lax.scan(
             body, (state.batch_stats, zeros, 0),
             (xs, ys, mask_s, xt, yt, mask_t))
+        # gate weight decay on backprop reachability (torch grad=None
+        # semantics — see make_train_step._decay_mask)
+        dmask = structural_participation(
+            loss_fn, state.params, state.batch_stats, xs[0], ys[0],
+            mask_s[0], xt[0], yt[0], mask_t[0], scalars, rng)
+        if all(jax.tree_util.tree_leaves(dmask)):
+            dmask = None
         if hasattr(tx, "update_and_apply"):
             new_params, new_opt = tx.update_and_apply(
-                grads, state.opt_state, state.params, scalars.lr)
+                grads, state.opt_state, state.params, scalars.lr,
+                decay_mask=dmask)
         else:
-            updates, new_opt = tx.update(grads, state.opt_state,
-                                         state.params)
+            updates, new_opt = tx.update(
+                grads, state.opt_state,
+                decay_masked_params(state.params, dmask))
             new_params = apply_updates_with_lr(state.params, updates,
                                                scalars.lr)
         return TrainState(new_params, new_stats, new_opt,

@@ -156,12 +156,21 @@ def build_ref_model(args, num_class: int):
     return torch.nn.DataParallel(model, args.gpus).cuda()
 
 
-def build_criteria(args, num_class: int):
+def build_criteria(args, num_class: int, class_freq=None, n_source=None,
+                   n_target=None):
     """criterion / criterion_domain as main.py:155-167,205-210 build
-    them (uniform weights for weighted_class_loss='N')."""
+    them.  ``class_freq`` (per-class frequency over the source stream)
+    and ``n_source``/``n_target`` (dataset sizes) stand in for the list
+    files main.py:156-158 reads; the weight formulas are the reference's
+    own (main.py:163-167)."""
     import torch
     w_cls = torch.ones(num_class)
     w_dom = torch.Tensor([1.0, 1.0])
+    if args.weighted_class_loss == 'Y':
+        w_cls = 1 / torch.Tensor(class_freq)          # main.py:163-164
+    if args.weighted_class_loss_DA == 'Y':
+        w_dom = torch.Tensor([1.0 / n_source,          # main.py:166-167
+                              1.0 / n_target])
     return (torch.nn.CrossEntropyLoss(weight=w_cls),
             torch.nn.CrossEntropyLoss(weight=w_dom))
 
@@ -178,7 +187,8 @@ def build_optimizer(args, dp_model):
 
 
 def ref_train(args, dp_model, num_class, batches_source, batches_target,
-              optimizer=None, alpha=0.0, epoch=1):
+              optimizer=None, alpha=0.0, epoch=1, class_freq=None,
+              n_source=None, n_target=None):
     """Run the reference's ACTUAL train() (main.py:309-667) for one
     pass over the given batch lists.
 
@@ -190,7 +200,9 @@ def ref_train(args, dp_model, num_class, batches_source, batches_target,
     ns = load_reference()
     ns.main.args = args
     ns.main.gpu_count = 1
-    criterion, criterion_domain = build_criteria(args, num_class)
+    criterion, criterion_domain = build_criteria(
+        args, num_class, class_freq=class_freq, n_source=n_source,
+        n_target=n_target)
     if optimizer is None:
         optimizer = build_optimizer(args, dp_model)
 
@@ -213,14 +225,18 @@ def ref_train(args, dp_model, num_class, batches_source, batches_target,
     return losses, loss_c
 
 
-def ref_validate(args, dp_model, num_class, val_batches, epoch=1):
+def ref_validate(args, dp_model, num_class, val_batches, epoch=1,
+                 class_freq=None):
     """Run the reference's ACTUAL validate() (main.py:669-761); returns
     its top-1 average (percent)."""
     import torch
     ns = load_reference()
     ns.main.args = args
     ns.main.gpu_count = 1
-    criterion, _ = build_criteria(args, num_class)
+    # validate() consumes only `criterion`; pass dummy domain counts so
+    # build_criteria's weighted_class_loss_DA branch stays constructible
+    criterion, _ = build_criteria(args, num_class, class_freq=class_freq,
+                                  n_source=1, n_target=1)
     log = io.StringIO()
     return ns.main.validate(val_batches, dp_model, criterion, num_class,
                             epoch, log)

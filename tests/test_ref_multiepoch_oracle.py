@@ -288,3 +288,105 @@ def test_dann_lr_composition_across_epochs(tmp_path):
     np.testing.assert_allclose([float(x) for x in our_losses], ref_losses,
                                rtol=1e-3,
                                err_msg="per-step losses under dann lr")
+
+
+EPOCHS_P = 4      # loss blows up after epochs 2 and 3 -> decay fires TWICE
+LR_P = 10.0       # deliberately divergent so loss_c decisively goes UP
+
+
+def test_loss_plateau_lr_composition_across_epochs(tmp_path):
+    """lr_adaptive='loss' (main.py:222-223,234-235,794-798): lr divides
+    by lr_decay at the START of an epoch when the previous epoch's
+    average classification loss exceeded the one before it — including
+    the 999/999 sentinel init that keeps epoch 1 (999 vs 999) and
+    epoch 2 (loss vs 999) undecayed.  A divergent lr makes the
+    reference's own loss_c rise after epochs 2 AND 3 with margins >>
+    any cross-arm noise (probed: rises of ~1.7 and ~79), so the decay
+    fires twice on both arms: lr 10 -> 10 -> 1 -> 0.1.  The applied-lr
+    sequence is the composition observable and is pinned exactly;
+    per-epoch loss_c only loosely (an lr-10 trajectory amplifies f32
+    rounding chaotically)."""
+    ref_harness.set_feature_dim(D)
+    torch.manual_seed(0)    # reproducible init (both arms share it)
+    argv = [
+        "--arch", "resnet101", "--num_segments", str(S),
+        "--val_segments", str(S), "--add_fc", "1", "--fc_dim", str(FC),
+        "--baseline_type", "video", "--dropout_i", "0", "--dropout_v", "0",
+        "--lr", str(LR_P), "--optimizer", "SGD", "--lr_adaptive", "loss",
+        "--lr_decay", "10",
+        "-b", str(B_S), str(B_T), str(B_S), "-j", "0",
+        "-pf", "1000", "-sf", "1000", "--epochs", str(EPOCHS_P),
+        "--eval_freq", "1",
+        "--frame_aggregation", "avgpool", "--use_target", "uSv",
+        "--adv_DA", "RevGrad", "--place_adv", "Y", "Y", "Y",
+        "--use_attn", "none", "--beta", "1", "1", "1",
+    ]
+    args = ref_harness.make_args(argv)
+    ns = ref_harness.load_reference()
+
+    rng = np.random.default_rng(42)
+    store_s = _store(rng, N_SRC, C)
+    store_t = _store(rng, N_TGT, C)
+    store_v = _store(rng, N_VAL, C)
+    src_t = _to_torch(_loader(store_s, B_S))
+    tgt_t = _to_torch(_loader(store_t, B_T))
+    val_t = _to_torch(_loader(store_v, B_S))
+
+    # ---- reference: its own plateau rule around its own train() ----
+    dp = ref_harness.build_ref_model(args, C)
+    state0 = ref_harness.state_dict_numpy(dp)
+    optimizer = ref_harness.build_optimizer(args, dp)
+    loss_c_current = loss_c_previous = 999     # main.py:222-223
+    ref_lr, ref_loss_c = [], []
+    for epoch in range(1, EPOCHS_P + 1):
+        ns.main.adjust_learning_rate_loss(           # main.py:234-235
+            optimizer, args.lr_decay, loss_c_current, loss_c_previous,
+            '>')
+        _, loss_c = ref_harness.ref_train(
+            args, dp, C, src_t, tgt_t, optimizer=optimizer,
+            alpha=args.alpha, epoch=epoch)
+        loss_c_previous = loss_c_current             # main.py:247-248
+        loss_c_current = loss_c
+        ref_lr.append(optimizer.param_groups[0]["lr"])
+        ref_loss_c.append(loss_c)
+
+    assert ref_lr == [LR_P, LR_P, LR_P / 10, LR_P / 100], \
+        "probe invariant: sentinel holds epochs 1-2, then two decays"
+    # the rises that trigger the decays must dwarf cross-arm noise
+    assert ref_loss_c[1] - ref_loss_c[0] > 0.5
+    assert ref_loss_c[2] - ref_loss_c[1] > 5.0
+
+    # ---- ours: the real Trainer.fit() plateau composition ----
+    model_cfg = ModelConfig(
+        num_class=C, baseline_type="video", frame_aggregation="avgpool",
+        train_segments=S, val_segments=S, fc_dim=FC, feature_dim=D,
+        dropout_i=0.0, dropout_v=0.0, use_attn="none")
+    da_cfg = DAConfig(use_target="uSv", adv_DA="RevGrad",
+                      place_adv=("Y", "Y", "Y"))
+    train_cfg = TrainConfig(
+        optimizer="SGD", lr=LR_P, lr_adaptive="loss", lr_decay=10.0,
+        epochs=EPOCHS_P, batch_size=(B_S, B_T, B_S),
+        beta=(1.0, 1.0, 1.0))
+    trainer = _RecordingTrainer(
+        model_cfg, da_cfg, train_cfg,
+        _loader(store_s, B_S), _loader(store_t, B_T), _loader(store_v, B_S),
+        path_exp=os.path.join(str(tmp_path), "exp/"),
+        use_mesh=False, print_freq=1000, show_freq=1000, eval_freq=1,
+        save_model=False, nan_guard=False)
+    trainer.rec_loss_c, trainer.rec_lr, trainer.rec_prec1 = [], [], []
+    params, batch_stats = import_torch_state_dict(state0)
+    tx = _build_tx(train_cfg)
+    trainer.state = TrainState(params, batch_stats, tx.init(params),
+                               jnp.asarray(0, jnp.int32))
+    trainer.fit()
+
+    np.testing.assert_allclose(trainer.rec_lr, ref_lr, rtol=1e-9,
+                               err_msg="plateau-decayed lr per epoch")
+    # epoch 1 is pre-divergence: tight; later epochs ride an lr-10
+    # blow-up where both arms see the SAME decays but f32 chaos spreads
+    # the magnitudes — pin loosely
+    np.testing.assert_allclose(trainer.rec_loss_c[0], ref_loss_c[0],
+                               rtol=1e-3)
+    np.testing.assert_allclose(trainer.rec_loss_c, ref_loss_c, rtol=0.15,
+                               err_msg="per-epoch avg classification "
+                                       "loss under lr=10")
