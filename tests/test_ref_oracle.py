@@ -101,6 +101,17 @@ RNN_GRU_TRUNC_ARGV = _common_argv([
     "--place_adv", "Y", "Y", "Y", "--use_attn", "none",
 ])
 
+# bidirectional LSTM: n_directions=2 splits hidden_dim per direction and
+# concatenates fw/bw outputs (models.py:347-352,410-418); the reverse
+# pass's weight layout is the classic silent-divergence site (pinned
+# layer-wise vs torch.nn in test_rnn_import, end-to-end here)
+RNN_BIDIR_ARGV = _common_argv([
+    "--frame_aggregation", "rnn", "--rnn_cell", "LSTM",
+    "--n_directions", "2", "--n_ts", str(S),
+    "--use_target", "uSv", "--adv_DA", "RevGrad",
+    "--place_adv", "Y", "Y", "Y", "--use_attn", "none",
+])
+
 # tsn baseline: final_output averages frame logits over segments
 # (models.py:437-454); validate re-averages through pred.view
 # (main.py:722-723) — identity when train_segments == val_segments
@@ -297,12 +308,13 @@ def _assert_trees_close(ours, ref, rtol, atol, what,
                           (TARGET_ENTROPY_ARGV, 14, N_STEPS),
                           (PREDNORM_ARGV, 15, N_STEPS),
                           (ADAM_ARGV, 16, N_STEPS),
-                          (ATTN_FRAME_ARGV, 17, N_STEPS)],
+                          (ATTN_FRAME_ARGV, 17, N_STEPS),
+                          (RNN_BIDIR_ARGV, 21, N_STEPS)],
                          ids=["flagship", "mcd_adabn", "dan_avgpool",
                               "jan_general", "rnn_lstm", "rnn_gru_trunc",
                               "tsn", "sv", "share_params_n", "autodial",
                               "target_entropy", "pred_normalize", "adam",
-                              "attn_frame"])
+                              "attn_frame", "rnn_bidir"])
 def test_training_parity_vs_actual_reference(argv, seed, n_steps):
     """4 optimizer steps (2 for the chaotic JAN corner, see parametrize):
     per-step total losses (the exact scalars the reference backprops,
@@ -361,11 +373,12 @@ def test_training_parity_vs_actual_reference(argv, seed, n_steps):
                                   DAN_AVGPOOL_ARGV, JAN_GENERAL_ARGV,
                                   RNN_LSTM_ARGV, RNN_GRU_TRUNC_ARGV,
                                   TSN_ARGV, SV_ARGV, SHARE_N_ARGV,
-                                  AUTODIAL_ARGV, ATTN_FRAME_ARGV],
+                                  AUTODIAL_ARGV, ATTN_FRAME_ARGV,
+                                  RNN_BIDIR_ARGV],
                          ids=["flagship", "mcd_adabn", "dan_avgpool",
                               "jan_general", "rnn_lstm", "rnn_gru_trunc",
                               "tsn", "sv", "share_params_n", "autodial",
-                              "attn_frame"])
+                              "attn_frame", "rnn_bidir"])
 def test_eval_parity_vs_actual_reference(argv):
     """Eval logits vs the reference model's own forward (eval mode,
     models.py:545-722) and top-1 vs the reference's validate()
