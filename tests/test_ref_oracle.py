@@ -178,10 +178,11 @@ ATTN_FRAME_ARGV = _common_argv([
 ])
 
 # AutoDIAL: learned alpha (models.py:314-316).  The reference reads it
-# via .item() (models.py:570) so it NEVER receives gradient and stays at
-# 1.0; ours is trainable but its gradient is exactly 0 at alpha=1 (the
-# routing uses round/comparisons), so over a short horizon the only
-# divergence is our weight decay on alpha (~3e-6/step) — inside tolerance.
+# via .item() (models.py:570) so it NEVER receives gradient (grad=None)
+# and torch.optim leaves it at 1.0 forever; ours mirrors the .item()
+# break with a structural zero, so structural_participation gates its
+# weight decay too and alpha is bitwise-frozen exactly like torch's
+# (test_participation_mask_matches_torch_grad_none pins the whole set).
 AUTODIAL_ARGV = _common_argv([
     "--frame_aggregation", "avgpool", "--use_target", "uSv",
     "--use_bn", "AutoDIAL", "--adv_DA", "RevGrad",
@@ -653,6 +654,75 @@ def test_dotproduct_attn_crashes_reference_ours_rejects():
 
     with pytest.raises(ValueError, match="DotProduct"):
         _our_configs(args)
+
+
+@pytest.mark.parametrize("argv,seed",
+                         [(FLAGSHIP_ARGV, 22), (AUTODIAL_ARGV, 23),
+                          (DAN_AVGPOOL_ARGV, 24)],
+                         ids=["flagship", "autodial", "dan_avgpool"])
+def test_participation_mask_matches_torch_grad_none(argv, seed):
+    """The weight-decay gate (optim.structural_participation, jaxpr
+    reachability) must equal torch autograd's OWN reachability exactly:
+    after one reference backward, ``p.grad is None`` per parameter
+    (torch.optim skips those params entirely, main.py:578-581).  Torch
+    names are mapped onto our leaves by importing a state dict whose
+    tensors are filled with unique constants (survives the importer's
+    transposes/gate splits)."""
+    from ta3n_tpu.io_utils.torch_import import _DEAD_PREFIXES
+    from ta3n_tpu.train.optim import structural_participation
+
+    ref_harness.set_feature_dim(D)
+    args = ref_harness.make_args(argv)
+    torch.manual_seed(seed)
+    dp = ref_harness.build_ref_model(args, C)
+    state0 = ref_harness.state_dict_numpy(dp)
+    src, tgt, _ = _make_batches(seed)
+    src, tgt = src[:1], tgt[:1]
+
+    # one reference step -> its grad=None set (DataParallel prefix off)
+    ref_harness.ref_train(args, dp, C, src, tgt, alpha=args.alpha)
+    none_names = {n[len("module."):] for n, p in dp.named_parameters()
+                  if p.grad is None}
+
+    # unique-constant state dict -> torch param name per our-leaf
+    names = list(state0)
+    tagged = {k: np.full_like(state0[k], np.float32(i + 2.0))
+              for i, k in enumerate(names)}
+    tagged_params, _ = import_torch_state_dict(tagged)
+    leaf_name = {
+        path: names[int(np.asarray(v).reshape(-1)[0]) - 2]
+        for path, v in jax.tree_util.tree_flatten_with_path(
+            tagged_params)[0]}
+
+    model_cfg, da_cfg, train_cfg = _our_configs(args)
+    model = VideoModel(model_cfg)
+    params, batch_stats = import_torch_state_dict(state0)
+    step = make_train_step(model, da_cfg, train_cfg)
+    sc = StepScalars(np.asarray(args.beta, np.float32),
+                     np.float32(args.mu), np.float32(args.alpha),
+                     np.float32(args.gamma), np.float32(LR))
+    (xs, ys), (xt, yt) = src[0], tgt[0]
+    mask = structural_participation(
+        step.loss_fn, params, batch_stats, xs.numpy(),
+        ys.numpy().astype(np.int32), np.ones(B_S, np.float32),
+        xt.numpy(), yt.numpy().astype(np.int32),
+        np.ones(B_T, np.float32), sc, jax.random.PRNGKey(0), None)
+
+    flat_mask = dict(jax.tree_util.tree_flatten_with_path(mask)[0])
+    assert set(flat_mask) == set(leaf_name)
+    mismatches = [
+        f"{jax.tree_util.keystr(p)} ({leaf_name[p]}): ours="
+        f"{'live' if flat_mask[p] else 'dead'}, torch grad "
+        f"{'None' if leaf_name[p] in none_names else 'present'}"
+        for p in flat_mask
+        if flat_mask[p] != (leaf_name[p] not in none_names)]
+    assert not mismatches, "\n".join(mismatches)
+    # every torch grad=None param is either one of our dead-gated leaves
+    # or an importer-dropped dead tensor — nothing silently unaccounted
+    mapped = set(leaf_name.values())
+    for n in none_names:
+        mod = n.rsplit(".", 1)[0] + "."
+        assert n in mapped or mod in _DEAD_PREFIXES, n
 
 
 MCD_SV_ARGV = _common_argv([
