@@ -159,6 +159,15 @@ PREDNORM_ARGV = _common_argv([
     "--gamma", "0.3", "--pred_normalize", "Y",
 ])
 
+# pred_normalize + Sv: the normalized out_target (main.py:424-427) must
+# feed the Sv label concat (main.py:442-444) — the classification loss
+# consumes BOTH normalized streams
+PREDNORM_SV_ARGV = _common_argv([
+    "--frame_aggregation", "avgpool", "--use_target", "Sv",
+    "--adv_DA", "RevGrad", "--place_adv", "Y", "Y", "Y",
+    "--use_attn", "none", "--pred_normalize", "Y",
+])
+
 # Adam: the reference's other optimizer (main.py:84-86; L2 weight decay
 # folded into the gradient, torch defaults betas=(0.9,0.999), eps=1e-8)
 ADAM_ARGV = _common_argv([
@@ -310,12 +319,13 @@ def _assert_trees_close(ours, ref, rtol, atol, what,
                           (PREDNORM_ARGV, 15, N_STEPS),
                           (ADAM_ARGV, 16, N_STEPS),
                           (ATTN_FRAME_ARGV, 17, N_STEPS),
-                          (RNN_BIDIR_ARGV, 21, N_STEPS)],
+                          (RNN_BIDIR_ARGV, 21, N_STEPS),
+                          (PREDNORM_SV_ARGV, 25, N_STEPS)],
                          ids=["flagship", "mcd_adabn", "dan_avgpool",
                               "jan_general", "rnn_lstm", "rnn_gru_trunc",
                               "tsn", "sv", "share_params_n", "autodial",
                               "target_entropy", "pred_normalize", "adam",
-                              "attn_frame", "rnn_bidir"])
+                              "attn_frame", "rnn_bidir", "prednorm_sv"])
 def test_training_parity_vs_actual_reference(argv, seed, n_steps):
     """4 optimizer steps (2 for the chaotic JAN corner, see parametrize):
     per-step total losses (the exact scalars the reference backprops,
