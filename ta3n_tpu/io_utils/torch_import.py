@@ -35,7 +35,9 @@ _DEAD_PREFIXES = (
     # use_bn!=none constructs these (models.py:198-199,309-312) but the
     # forward only ever BN-aligns at 'shared' and 'temconv_1'
     # (models.py:569-570,662-663) — dropping them keeps dead tensors out
-    # of the optimizer (torch skips grad-less params; optax would decay)
+    # of the param tree entirely (torch skips grad=None params; ours
+    # would too via the structural-participation decay gate, but tensors
+    # that can never participate don't belong in the tree at all)
     "bn_source_S.", "bn_source_T.",
     "bn_source_video_S.", "bn_source_video_T.",
     "bn_source_video_2_S.", "bn_source_video_2_T.",
