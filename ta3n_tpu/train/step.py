@@ -653,8 +653,7 @@ def make_train_step(model: VideoModel, da: DAConfig, train_cfg: TrainConfig,
         Adam's eps-normalized update).  Gate decay on the structural
         participation of each leaf; cached per input-shape signature
         (one extra abstract trace per compile, zero runtime cost)."""
-        key = tuple(jax.tree_util.tree_map(jnp.shape,
-                                           fn_args[2:8]).__repr__())
+        key = repr(jax.tree_util.tree_map(jnp.shape, fn_args[2:8]))
         if key not in _pmask_cache:
             mask = structural_participation(loss_fn, *fn_args)
             if all(jax.tree_util.tree_leaves(mask)):
