@@ -112,6 +112,16 @@ RNN_BIDIR_ARGV = _common_argv([
     "--place_adv", "Y", "Y", "Y", "--use_attn", "none",
 ])
 
+# stacked 2-layer GRU: n_rnn feeds nn.GRU num_layers (models.py:86,207);
+# layer-1's output is layer-2's input, weight_{ih,hh}_l1 live in the
+# same fused-gate layout our importer splits
+RNN_2LAYER_ARGV = _common_argv([
+    "--frame_aggregation", "rnn", "--rnn_cell", "GRU", "--n_rnn", "2",
+    "--n_ts", str(S),
+    "--use_target", "uSv", "--adv_DA", "RevGrad",
+    "--place_adv", "Y", "Y", "Y", "--use_attn", "none",
+])
+
 # tsn baseline: final_output averages frame logits over segments
 # (models.py:437-454); validate re-averages through pred.view
 # (main.py:722-723) — identity when train_segments == val_segments
@@ -320,12 +330,14 @@ def _assert_trees_close(ours, ref, rtol, atol, what,
                           (ADAM_ARGV, 16, N_STEPS),
                           (ATTN_FRAME_ARGV, 17, N_STEPS),
                           (RNN_BIDIR_ARGV, 21, N_STEPS),
-                          (PREDNORM_SV_ARGV, 25, N_STEPS)],
+                          (PREDNORM_SV_ARGV, 25, N_STEPS),
+                          (RNN_2LAYER_ARGV, 26, N_STEPS)],
                          ids=["flagship", "mcd_adabn", "dan_avgpool",
                               "jan_general", "rnn_lstm", "rnn_gru_trunc",
                               "tsn", "sv", "share_params_n", "autodial",
                               "target_entropy", "pred_normalize", "adam",
-                              "attn_frame", "rnn_bidir", "prednorm_sv"])
+                              "attn_frame", "rnn_bidir", "prednorm_sv",
+                              "rnn_2layer"])
 def test_training_parity_vs_actual_reference(argv, seed, n_steps):
     """4 optimizer steps (2 for the chaotic JAN corner, see parametrize):
     per-step total losses (the exact scalars the reference backprops,
